@@ -1,0 +1,92 @@
+"""Solver options, per-iteration records and summaries.
+
+Mirrors the reference's Options / Summary / OptimizationInfo / SolverType /
+IterationStatus (core/solver_option_and_summary.h:25-93) with the same nested
+handles and defaults, re-shaped for JAX: `Options` is a frozen (hashable)
+dataclass so it can be passed as a static argument to jitted solvers, and the
+per-iteration info lives in fixed-size arrays filled inside `lax.while_loop`
+(the reference appends to a std::vector per iteration,
+core/full_bundle_adjustment_solver.cpp:983-1003).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class SolverType(enum.Enum):
+    """Reference parity: SolverType (core/solver_option_and_summary.h:25-30)."""
+
+    UNDEFINED = -1
+    GRADIENT_DESCENT = 0
+    GAUSS_NEWTON = 1
+    LEVENBERG_MARQUARDT = 2
+
+
+class IterationStatus(enum.IntEnum):
+    """Reference parity: IterationStatus (core/solver_option_and_summary.h:31-36)."""
+
+    UNDEFINED = -1
+    UPDATE = 0
+    UPDATE_TRUST_MORE = 1
+    SKIPPED = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvergenceHandle:
+    threshold_step_size: float = 1e-5
+    threshold_cost_change: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class OutlierHandle:
+    threshold_huber_loss: float = 1.0  # pixels
+    threshold_outlier_rejection: float = 2.0  # pixels
+
+
+@dataclasses.dataclass(frozen=True)
+class IterationHandle:
+    max_num_iterations: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class TrustRegionHandle:
+    initial_lambda: float = 100.0
+    decrease_ratio_lambda: float = 0.33
+    increase_ratio_lambda: float = 3.0
+    # Hard-coded in the reference; surfaced as config per SURVEY.md §5:
+    threshold_update: float = 0.25  # rho above this -> accept step (full cpp:933-941)
+    threshold_trust_more: float = 0.5  # rho above this -> shrink lambda (cpp:947)
+    min_lambda: float = 1e-10  # lambda clamp (full cpp:948-953)
+    max_lambda: float = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Reference parity: Options defaults (core/solver_option_and_summary.h:47-72).
+
+    Extra TPU-specific knobs beyond the reference:
+      - ``reduced_system``: 'dense' materializes the Schur complement S and
+        solves it with Cholesky (reference semantics, full cpp:890-908);
+        'cg' runs matrix-free block-preconditioned conjugate gradients on S
+        (required beyond ~1k poses); 'auto' picks by problem size.
+      - ``cg_max_iterations`` / ``cg_tolerance``: inner-CG controls.
+      - ``gd_step_clip``: per-block step clip of the gradient-descent mode
+        (reference refactor hard-codes 0.001,
+        core/full_bundle_adjustment_solver_refactor.cpp:1276-1283).
+    """
+
+    solver_type: SolverType = SolverType.GAUSS_NEWTON
+    convergence_handle: ConvergenceHandle = ConvergenceHandle()
+    outlier_handle: OutlierHandle = OutlierHandle()
+    iteration_handle: IterationHandle = IterationHandle()
+    trust_region_handle: TrustRegionHandle = TrustRegionHandle()
+
+    reduced_system: str = "auto"  # 'dense' | 'cg' | 'auto'
+    cg_max_iterations: int = 100
+    cg_tolerance: float = 1e-8
+    gd_step_clip: float = 0.001
+
+    def replace(self, **kwargs) -> "Options":
+        return dataclasses.replace(self, **kwargs)

@@ -1,0 +1,866 @@
+"""Pose-only (motion-only) bundle adjustment: 4 modes, batched, jitted.
+
+TPU-native re-design of the reference PoseOnlyBundleAdjustmentSolver
+(core/pose_only_bundle_adjustment_solver.h:28-67, .cpp:8-900):
+
+  - `solve_monocular_6dof`      (cpp:8-170)
+  - `solve_stereo_6dof`         (cpp:172-399)
+  - `solve_monocular_planar3dof`(cpp:401-615)
+  - `solve_stereo_planar3dof`   (cpp:617-900)
+
+Design changes vs the reference (behavior-preserving):
+  - the per-point scalar loops become batched VPU math; the 6x6/3x3 normal
+    equations are built with one weighted J^T J contraction (an MXU matmul at
+    large point counts) instead of the reference's structured-sparsity scalar
+    kernels (cpp:907-1177);
+  - the Gauss-Newton iteration loop runs inside `lax.while_loop` with zero
+    host round-trips; per-iteration telemetry and the debug-pose trace
+    (`debug_poses_`, cpp:111/341) are fixed-size carry buffers;
+  - every entry point also has a `*_batched` variant: `vmap` over thousands of
+    independent frames per chip, the embarrassingly-parallel axis the
+    reference executes one call at a time (SURVEY.md §2).
+
+Cost accounting: the reference's per-observation `error_i` drops one of the
+u/v terms depending on the Huber branch (cpp:1432 vs 1450 -- a known quirk,
+SURVEY.md §7). We use the correct robust cost w*(r_u^2 + r_v^2) everywhere;
+per-mode normalization of the printed cost matches the reference
+(mono: * 0.5/n, cpp:113; stereo: / (0.5*(n_l + n_r)), cpp:343).
+
+All solvers keep the reference's fixed damping lambda = 1e-5 (cpp:57,235,472),
+Manhattan-Huber weights, output-only outlier masks (they never gate the
+normal equations, exactly like the reference), update-before-convergence-
+check ordering, and the NaN write-back guard (cpp:159-167). One deliberate
+mask deviation: the reference accumulates outlier flags stickily from
+iteration 0 (cpp:95-98), so any coarse initial guess permanently flags every
+point; we report the final evaluated iteration's mask instead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lie import (
+    add_front_se3,
+    compose,
+    inverse_se3,
+    planar_to_se3,
+    se3_to_planar,
+)
+from ..ops.projection import (
+    pose_only_jacobian_6dof,
+    pose_only_jacobian_planar3dof,
+    residual_and_weight,
+)
+from ..options import IterationStatus, Options
+from ..summary import (
+    INFO_ABS_GRADIENT,
+    INFO_ABS_STEP,
+    INFO_AVG_REPROJ,
+    INFO_COST,
+    INFO_COST_CHANGE,
+    INFO_DAMPING,
+    INFO_NUM_COLS,
+    INFO_STATUS,
+    Summary,
+)
+
+_FIXED_LAMBDA = 1e-5  # reference: pose-only solvers never adapt damping (cpp:57)
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class PoseOnlyResult(NamedTuple):
+    """Device-side result of one pose-only solve (mono or stereo)."""
+
+    pose: jax.Array  # (4, 4) optimized user-facing pose
+    mask_inlier: jax.Array  # (P,) bool, left camera
+    mask_inlier_right: jax.Array  # (P,) bool (== mask_inlier for mono)
+    success: jax.Array  # () bool: NaN guard (cpp:159-167)
+    converged: jax.Array  # () bool
+    num_iterations: jax.Array  # () int32: loop trips executed
+    info: jax.Array  # (max_iter, INFO_NUM_COLS)
+    num_info: jax.Array  # () int32: valid rows in `info`
+    debug_poses: jax.Array  # (max_iter, 4, 4) per-iteration pose trace
+    num_debug: jax.Array  # () int32
+
+
+class _Carry(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    err_prev: jax.Array
+    it: jax.Array
+    done: jax.Array
+    converged: jax.Array
+    mask_left: jax.Array
+    mask_right: jax.Array
+    info: jax.Array
+    num_info: jax.Array
+    debug_R: jax.Array
+    debug_t: jax.Array
+    step_norm: jax.Array
+
+
+def _to_Rt(T: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return T[..., :3, :3], T[..., :3, 3]
+
+
+def _to_T(R: jax.Array, t: jax.Array) -> jax.Array:
+    batch = R.shape[:-2]
+    T = jnp.zeros(batch + (4, 4), dtype=R.dtype)
+    T = T.at[..., :3, :3].set(R)
+    T = T.at[..., :3, 3].set(t)
+    return T.at[..., 3, 3].set(1.0)
+
+
+def _normal_equations(J, r, w, dim):
+    """Weighted normal equations from (P, 2, dim) Jacobians.
+
+    JtWJ = sum_p w_p J_p^T J_p and g = sum_p w_p J_p^T r_p, contracted over
+    both residual rows. At large P this is a (2P, dim)^T @ (2P, dim) matmul --
+    the MXU path -- replacing the reference's scalar rank-1 kernels
+    (pose_only cpp:907-1177).
+    """
+    Jw = J * w[:, None, None]
+    JtWJ = jnp.einsum("pri,prj->ij", Jw, J, precision=_HIGHEST)
+    g = jnp.einsum("pri,pr->i", Jw, r, precision=_HIGHEST)
+    return JtWJ, g
+
+
+def _damped_solve(JtWJ, g, dim):
+    """(1 + lambda) diagonal damping + solve, reference cpp:102-105."""
+    H = JtWJ + jnp.diag(jnp.diag(JtWJ)) * _FIXED_LAMBDA
+    return jnp.linalg.solve(H, -g)
+
+
+def _record_iteration(
+    carry: _Carry,
+    err_curr,
+    step_norm,
+    conv_now,
+    at_last,
+    R_new,
+    t_new,
+    debug_pose,
+):
+    """Shared bookkeeping: info row (skipped on the converging iteration,
+    matching the reference's break-before-push, cpp:116-121 vs 128-147),
+    debug-pose trace (always pushed, cpp:111), convergence flags."""
+    it = carry.it
+    delta_err = jnp.abs(err_curr - carry.err_prev)
+    row = jnp.zeros((INFO_NUM_COLS,), dtype=carry.info.dtype)
+    row = row.at[INFO_COST].set(err_curr)
+    row = row.at[INFO_COST_CHANGE].set(delta_err)
+    row = row.at[INFO_AVG_REPROJ].set(err_curr)
+    row = row.at[INFO_ABS_STEP].set(step_norm)
+    row = row.at[INFO_ABS_GRADIENT].set(0.0)
+    row = row.at[INFO_DAMPING].set(-1.0)
+    row = row.at[INFO_STATUS].set(float(int(IterationStatus.UPDATE)))
+
+    write = jnp.logical_not(conv_now)
+    info = carry.info.at[it].set(jnp.where(write, row, carry.info[it]))
+    num_info = carry.num_info + write.astype(jnp.int32)
+
+    dbg_R, dbg_t = _to_Rt(debug_pose)
+    debug_R = carry.debug_R.at[it].set(dbg_R)
+    debug_t = carry.debug_t.at[it].set(dbg_t)
+
+    done = conv_now | at_last
+    converged = jnp.where(conv_now, True, jnp.logical_not(at_last))
+    return carry._replace(
+        R=R_new,
+        t=t_new,
+        err_prev=err_curr,
+        it=it + 1,
+        done=done,
+        converged=converged,
+        info=info,
+        num_info=num_info,
+        debug_R=debug_R,
+        debug_t=debug_t,
+        step_norm=step_norm,
+    )
+
+
+def _finish(carry: _Carry, pose_out: jax.Array) -> PoseOnlyResult:
+    finite = jnp.all(jnp.isfinite(pose_out))
+    return PoseOnlyResult(
+        pose=pose_out,
+        mask_inlier=carry.mask_left,
+        mask_inlier_right=carry.mask_right,
+        success=finite,
+        converged=carry.converged,
+        num_iterations=carry.it,
+        info=carry.info,
+        num_info=carry.num_info,
+        debug_poses=_to_T(carry.debug_R, carry.debug_t),
+        num_debug=carry.it,
+    )
+
+
+def _init_carry(R0, t0, valid_left, valid_right, max_iter, dtype) -> _Carry:
+    return _Carry(
+        R=R0,
+        t=t0,
+        err_prev=jnp.asarray(1e10, dtype=dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(True),
+        mask_left=valid_left,
+        mask_right=valid_right,
+        info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
+        num_info=jnp.asarray(0, jnp.int32),
+        debug_R=jnp.zeros((max_iter, 3, 3), dtype=dtype),
+        debug_t=jnp.zeros((max_iter, 3), dtype=dtype),
+        step_norm=jnp.asarray(0.0, dtype=dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-DoF
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_monocular_6dof_jax(
+    points: jax.Array,  # (P, 3) points in the reference frame
+    pixels: jax.Array,  # (P, 2) matched pixels in the current frame
+    valid: jax.Array,  # (P,) bool validity (all True for unpadded input)
+    intrinsics: jax.Array,  # (4,) fx, fy, cx, cy
+    pose_reference_to_current: jax.Array,  # (4, 4)
+    options: Options,
+) -> PoseOnlyResult:
+    """Monocular 6-DoF pose-only BA (reference cpp:8-170).
+
+    Optimizes T_cw (the inverse of the input pose, cpp:51-52) by damped
+    Gauss-Newton with analytic Jacobians; returns the optimized
+    reference->current pose (re-inverted, cpp:160).
+    """
+    dtype = points.dtype
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    opts = options
+    max_iter = opts.iteration_handle.max_num_iterations
+    huber = opts.outlier_handle.threshold_huber_loss
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    thr_step = opts.convergence_handle.threshold_step_size
+    thr_cost = opts.convergence_handle.threshold_cost_change
+
+    R0, t0 = _to_Rt(pose_reference_to_current)
+    R0, t0 = inverse_se3(R0, t0)  # optimize T_cw
+
+    validf = valid.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(jnp.sum(validf), 1.0)
+
+    def cond(c: _Carry):
+        return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
+
+    def body(c: _Carry):
+        X_c = jnp.einsum("ij,pj->pi", c.R, points, precision=_HIGHEST) + c.t
+        r, w, manhattan = residual_and_weight(X_c, pixels, fx, fy, cx, cy, huber)
+        J = pose_only_jacobian_6dof(X_c, fx, fy)
+        wv = w * validf
+        JtWJ, g = _normal_equations(J, r, wv, 6)
+        delta = _damped_solve(JtWJ, g, 6)
+        R_new, t_new = add_front_se3(c.R, c.t, delta)
+
+        err_curr = 0.5 * inv_n * jnp.sum(
+            wv * (r[:, 0] ** 2 + r[:, 1] ** 2)
+        )
+        # Deviation from the reference (documented in the module docstring):
+        # the mask reports the final evaluated iteration, not a sticky
+        # accumulation from iteration 0.
+        mask_left = valid & (manhattan < thr_outlier)
+
+        step_norm = jnp.linalg.norm(delta)
+        conv_now = jnp.logical_or(
+            step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
+        )
+        at_last = c.it == max_iter - 1
+        debug_pose = _to_T(*inverse_se3(R_new, t_new))
+        c = c._replace(mask_left=mask_left, mask_right=mask_left)
+        return _record_iteration(
+            c, err_curr, step_norm, conv_now, at_last, R_new, t_new, debug_pose
+        )
+
+    carry0 = _init_carry(R0, t0, valid, valid, max_iter, dtype)
+    carry = jax.lax.while_loop(cond, body, carry0)
+    R_out, t_out = inverse_se3(carry.R, carry.t)
+    return _finish(carry, _to_T(R_out, t_out))
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_stereo_6dof_jax(
+    points: jax.Array,  # (P, 3)
+    pixels_left: jax.Array,  # (P, 2)
+    pixels_right: jax.Array,  # (P, 2); x<0 or y<0 marks "no right match"
+    valid: jax.Array,  # (P,) bool
+    intrinsics_left: jax.Array,  # (4,)
+    intrinsics_right: jax.Array,  # (4,)
+    pose_left_to_right: jax.Array,  # (4, 4) rig extrinsic (cpp:179)
+    pose_reference_to_current_left: jax.Array,  # (4, 4)
+    options: Options,
+) -> PoseOnlyResult:
+    """Stereo 6-DoF pose-only BA (reference cpp:172-399).
+
+    The right-camera Jacobian is taken w.r.t. a perturbation in the right
+    frame, exactly like the reference (cpp:304-307) -- exact when the rig
+    rotation is identity, first-order otherwise.
+    """
+    dtype = points.dtype
+    fxl, fyl, cxl, cyl = (intrinsics_left[i] for i in range(4))
+    fxr, fyr, cxr, cyr = (intrinsics_right[i] for i in range(4))
+    opts = options
+    max_iter = opts.iteration_handle.max_num_iterations
+    huber = opts.outlier_handle.threshold_huber_loss
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    thr_step = opts.convergence_handle.threshold_step_size
+    thr_cost = opts.convergence_handle.threshold_cost_change
+
+    R_rl, t_rl = _to_Rt(pose_left_to_right)
+    R_rl, t_rl = inverse_se3(R_rl, t_rl)  # right<-left (cpp:228)
+    R0, t0 = _to_Rt(pose_reference_to_current_left)
+    R0, t0 = inverse_se3(R0, t0)
+
+    has_right = (pixels_right[:, 0] >= 0) & (pixels_right[:, 1] >= 0)  # cpp:298
+    valid_right = valid & has_right
+    validf_l = valid.astype(dtype)
+    validf_r = valid_right.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(jnp.sum(validf_l) + jnp.sum(validf_r), 1.0)
+
+    def cond(c: _Carry):
+        return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
+
+    def body(c: _Carry):
+        X_l = jnp.einsum("ij,pj->pi", c.R, points, precision=_HIGHEST) + c.t
+        X_r = jnp.einsum("ij,pj->pi", R_rl, X_l, precision=_HIGHEST) + t_rl
+
+        r_l, w_l, man_l = residual_and_weight(
+            X_l, pixels_left, fxl, fyl, cxl, cyl, huber
+        )
+        r_r, w_r, man_r = residual_and_weight(
+            X_r, pixels_right, fxr, fyr, cxr, cyr, huber
+        )
+        J_l = pose_only_jacobian_6dof(X_l, fxl, fyl)
+        J_r = pose_only_jacobian_6dof(X_r, fxr, fyr)
+
+        wv_l = w_l * validf_l
+        wv_r = w_r * validf_r
+        JtWJ_l, g_l = _normal_equations(J_l, r_l, wv_l, 6)
+        JtWJ_r, g_r = _normal_equations(J_r, r_r, wv_r, 6)
+        delta = _damped_solve(JtWJ_l + JtWJ_r, g_l + g_r, 6)
+        R_new, t_new = add_front_se3(c.R, c.t, delta)
+
+        # Reference normalization: err / (0.5 * (n_left + n_right)), cpp:343.
+        err_curr = (
+            jnp.sum(wv_l * (r_l[:, 0] ** 2 + r_l[:, 1] ** 2))
+            + jnp.sum(wv_r * (r_r[:, 0] ** 2 + r_r[:, 1] ** 2))
+        ) * (2.0 * inv_n)
+
+        # Final-iteration mask (see deviation note in the mono solver).
+        mask_left = valid & (man_l < thr_outlier)
+        mask_right = valid_right & (man_r < thr_outlier)
+
+        step_norm = jnp.linalg.norm(delta)
+        conv_now = jnp.logical_or(
+            step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
+        )
+        at_last = c.it == max_iter - 1
+        debug_pose = _to_T(*inverse_se3(R_new, t_new))
+        c = c._replace(mask_left=mask_left, mask_right=mask_right)
+        return _record_iteration(
+            c, err_curr, step_norm, conv_now, at_last, R_new, t_new, debug_pose
+        )
+
+    carry0 = _init_carry(R0, t0, valid, valid & has_right, max_iter, dtype)
+    carry = jax.lax.while_loop(cond, body, carry0)
+    R_out, t_out = inverse_se3(carry.R, carry.t)
+    return _finish(carry, _to_T(R_out, t_out))
+
+
+# ---------------------------------------------------------------------------
+# Planar 3-DoF
+# ---------------------------------------------------------------------------
+
+
+class _PlanarCarry(NamedTuple):
+    theta: jax.Array  # (3,) current (x, y, psi) of base2<-base1
+    err_prev: jax.Array
+    it: jax.Array
+    done: jax.Array
+    converged: jax.Array
+    mask_left: jax.Array
+    mask_right: jax.Array
+    info: jax.Array
+    num_info: jax.Array
+    debug_R: jax.Array
+    debug_t: jax.Array
+
+
+def _planar_prior(
+    pose_base_to_camera, pose_world_to_last, pose_world_to_current
+):
+    """Extract the planar prior theta = (x, y, psi) of base2<-base1 from the
+    camera-pose prior chain T_b2b1 = T_bc (T_wc2)^-1 T_wc1 T_cb
+    (reference cpp:449-460)."""
+    R_bc, t_bc = _to_Rt(pose_base_to_camera)
+    R_cb, t_cb = inverse_se3(R_bc, t_bc)
+    R_wc2, t_wc2 = _to_Rt(pose_world_to_current)
+    R_c2w, t_c2w = inverse_se3(R_wc2, t_wc2)
+    R_wc1, t_wc1 = _to_Rt(pose_world_to_last)
+    R_c2c1, t_c2c1 = compose(R_c2w, t_c2w, R_wc1, t_wc1)
+    R_tmp, t_tmp = compose(R_bc, t_bc, R_c2c1, t_c2c1)
+    R_b2b1, t_b2b1 = compose(R_tmp, t_tmp, R_cb, t_cb)
+    return se3_to_planar(R_b2b1, t_b2b1), (R_cb, t_cb), (R_bc, t_bc)
+
+
+def _planar_update(theta, delta):
+    """Left-compose a planar delta and re-extract params (cpp:536-547):
+    translation from the composed pose, psi accumulated additively."""
+    dx, dy, dpsi = delta[0], delta[1], delta[2]
+    c, s = jnp.cos(dpsi), jnp.sin(dpsi)
+    x, y, psi = theta[0], theta[1], theta[2]
+    return jnp.stack([c * x - s * y + dx, s * x + c * y + dy, psi + dpsi])
+
+
+def _planar_record(
+    c: _PlanarCarry, theta_new, err_curr, step_norm, conv_now, at_last, debug_pose
+) -> _PlanarCarry:
+    it = c.it
+    delta_err = jnp.abs(err_curr - c.err_prev)
+    row = jnp.zeros((INFO_NUM_COLS,), dtype=c.info.dtype)
+    row = row.at[INFO_COST].set(err_curr)
+    row = row.at[INFO_COST_CHANGE].set(delta_err)
+    row = row.at[INFO_AVG_REPROJ].set(err_curr)
+    row = row.at[INFO_ABS_STEP].set(step_norm)
+    row = row.at[INFO_DAMPING].set(-1.0)
+    row = row.at[INFO_STATUS].set(float(int(IterationStatus.UPDATE)))
+    write = jnp.logical_not(conv_now)
+    info = c.info.at[it].set(jnp.where(write, row, c.info[it]))
+    dbg_R, dbg_t = _to_Rt(debug_pose)
+    return c._replace(
+        theta=theta_new,
+        err_prev=err_curr,
+        it=it + 1,
+        done=conv_now | at_last,
+        converged=jnp.where(conv_now, True, jnp.logical_not(at_last)),
+        info=info,
+        num_info=c.num_info + write.astype(jnp.int32),
+        debug_R=c.debug_R.at[it].set(dbg_R),
+        debug_t=c.debug_t.at[it].set(dbg_t),
+    )
+
+
+def _planar_result(c: _PlanarCarry, R_bc, t_bc) -> PoseOnlyResult:
+    """Final pose: T_b2b1^-1 * T_bc (reference cpp:549-550, 839-840)."""
+    R_p, t_p = planar_to_se3(c.theta)
+    R_inv, t_inv = inverse_se3(R_p, t_p)
+    R_out, t_out = compose(R_inv, t_inv, R_bc, t_bc)
+    pose_out = _to_T(R_out, t_out)
+    finite = jnp.all(jnp.isfinite(pose_out))
+    return PoseOnlyResult(
+        pose=pose_out,
+        mask_inlier=c.mask_left,
+        mask_inlier_right=c.mask_right,
+        success=finite,
+        converged=c.converged,
+        num_iterations=c.it,
+        info=c.info,
+        num_info=c.num_info,
+        debug_poses=_to_T(c.debug_R, c.debug_t),
+        num_debug=c.it,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_monocular_planar3dof_jax(
+    points: jax.Array,  # (P, 3) positions in the last (base1) frame
+    pixels: jax.Array,  # (P, 2)
+    valid: jax.Array,  # (P,) bool
+    intrinsics: jax.Array,  # (4,)
+    pose_base_to_camera: jax.Array,  # (4, 4)
+    pose_world_to_last: jax.Array,  # (4, 4)
+    pose_world_to_current: jax.Array,  # (4, 4) initial guess
+    options: Options,
+) -> PoseOnlyResult:
+    """Monocular planar 3-DoF pose-only BA (reference cpp:401-615)."""
+    dtype = points.dtype
+    fx, fy, cx, cy = (intrinsics[i] for i in range(4))
+    opts = options
+    max_iter = opts.iteration_handle.max_num_iterations
+    huber = opts.outlier_handle.threshold_huber_loss
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    thr_step = opts.convergence_handle.threshold_step_size
+    thr_cost = opts.convergence_handle.threshold_cost_change
+
+    theta0, (R_cb, t_cb), (R_bc, t_bc) = _planar_prior(
+        pose_base_to_camera, pose_world_to_last, pose_world_to_current
+    )
+    validf = valid.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(jnp.sum(validf), 1.0)
+
+    def cond(c: _PlanarCarry):
+        return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
+
+    def body(c: _PlanarCarry):
+        R_p, t_p = planar_to_se3(c.theta)
+        cos_psi, sin_psi = jnp.cos(c.theta[2]), jnp.sin(c.theta[2])
+        R_cb1, t_cb1 = compose(R_cb, t_cb, R_p, t_p)  # camera<-base1 (cpp:490)
+        X_c = jnp.einsum("ij,pj->pi", R_cb1, points, precision=_HIGHEST) + t_cb1
+
+        r, w, manhattan = residual_and_weight(X_c, pixels, fx, fy, cx, cy, huber)
+        J = pose_only_jacobian_planar3dof(
+            X_c, points, fx, fy, R_cb, cos_psi, sin_psi
+        )
+        wv = w * validf
+        JtWJ, g = _normal_equations(J, r, wv, 3)
+        delta = _damped_solve(JtWJ, g, 3)
+        theta_new = _planar_update(c.theta, delta)
+
+        err_curr = 0.5 * inv_n * jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
+        mask_left = valid & (manhattan < thr_outlier)
+        step_norm = jnp.linalg.norm(delta)
+        conv_now = jnp.logical_or(
+            step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
+        )
+        at_last = c.it == max_iter - 1
+        Rn, tn = planar_to_se3(theta_new)
+        Rni, tni = inverse_se3(Rn, tn)
+        debug_pose = _to_T(*compose(Rni, tni, R_bc, t_bc))
+        c = c._replace(mask_left=mask_left, mask_right=mask_left)
+        return _planar_record(
+            c, theta_new, err_curr, step_norm, conv_now, at_last, debug_pose
+        )
+
+    carry0 = _PlanarCarry(
+        theta=theta0,
+        err_prev=jnp.asarray(1e10, dtype=dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(True),
+        mask_left=valid,
+        mask_right=valid,
+        info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
+        num_info=jnp.asarray(0, jnp.int32),
+        debug_R=jnp.zeros((max_iter, 3, 3), dtype=dtype),
+        debug_t=jnp.zeros((max_iter, 3), dtype=dtype),
+    )
+    carry = jax.lax.while_loop(cond, body, carry0)
+    return _planar_result(carry, R_bc, t_bc)
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_stereo_planar3dof_jax(
+    points: jax.Array,  # (P, 3) positions in the last (base1) frame
+    pixels_left: jax.Array,  # (P, 2)
+    pixels_right: jax.Array,  # (P, 2); x<0 or y<0 marks "no right match"
+    valid: jax.Array,  # (P,) bool
+    intrinsics_left: jax.Array,
+    intrinsics_right: jax.Array,
+    pose_base_to_camera: jax.Array,  # (4, 4)
+    pose_left_to_right: jax.Array,  # (4, 4)
+    pose_world_to_last: jax.Array,  # (4, 4)
+    pose_world_to_current: jax.Array,  # (4, 4) initial guess
+    options: Options,
+) -> PoseOnlyResult:
+    """Stereo planar 3-DoF pose-only BA (reference cpp:617-900)."""
+    dtype = points.dtype
+    fxl, fyl, cxl, cyl = (intrinsics_left[i] for i in range(4))
+    fxr, fyr, cxr, cyr = (intrinsics_right[i] for i in range(4))
+    opts = options
+    max_iter = opts.iteration_handle.max_num_iterations
+    huber = opts.outlier_handle.threshold_huber_loss
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    thr_step = opts.convergence_handle.threshold_step_size
+    thr_cost = opts.convergence_handle.threshold_cost_change
+
+    theta0, (R_cb, t_cb), (R_bc, t_bc) = _planar_prior(
+        pose_base_to_camera, pose_world_to_last, pose_world_to_current
+    )
+    R_lr, t_lr = _to_Rt(pose_left_to_right)
+    R_rl, t_rl = inverse_se3(R_lr, t_lr)
+    # Right-camera<-base rotation for the Jacobian chain (cpp:680-681).
+    R_cb_right = jnp.einsum("ij,jk->ik", R_rl, R_cb, precision=_HIGHEST)
+
+    has_right = (pixels_right[:, 0] >= 0) & (pixels_right[:, 1] >= 0)
+    valid_right = valid & has_right
+    validf_l = valid.astype(dtype)
+    validf_r = valid_right.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(jnp.sum(validf_l) + jnp.sum(validf_r), 1.0)
+
+    def cond(c: _PlanarCarry):
+        return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
+
+    def body(c: _PlanarCarry):
+        R_p, t_p = planar_to_se3(c.theta)
+        cos_psi, sin_psi = jnp.cos(c.theta[2]), jnp.sin(c.theta[2])
+        R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
+        R_r, t_r = compose(R_rl, t_rl, R_l, t_l)
+        X_l = jnp.einsum("ij,pj->pi", R_l, points, precision=_HIGHEST) + t_l
+        X_r = jnp.einsum("ij,pj->pi", R_r, points, precision=_HIGHEST) + t_r
+
+        r_l, w_l, man_l = residual_and_weight(
+            X_l, pixels_left, fxl, fyl, cxl, cyl, huber
+        )
+        r_r, w_r, man_r = residual_and_weight(
+            X_r, pixels_right, fxr, fyr, cxr, cyr, huber
+        )
+        J_l = pose_only_jacobian_planar3dof(
+            X_l, points, fxl, fyl, R_cb, cos_psi, sin_psi
+        )
+        J_r = pose_only_jacobian_planar3dof(
+            X_r, points, fxr, fyr, R_cb_right, cos_psi, sin_psi
+        )
+        wv_l = w_l * validf_l
+        wv_r = w_r * validf_r
+        JtWJ_l, g_l = _normal_equations(J_l, r_l, wv_l, 3)
+        JtWJ_r, g_r = _normal_equations(J_r, r_r, wv_r, 3)
+        delta = _damped_solve(JtWJ_l + JtWJ_r, g_l + g_r, 3)
+        theta_new = _planar_update(c.theta, delta)
+
+        err_curr = (
+            jnp.sum(wv_l * (r_l[:, 0] ** 2 + r_l[:, 1] ** 2))
+            + jnp.sum(wv_r * (r_r[:, 0] ** 2 + r_r[:, 1] ** 2))
+        ) * (2.0 * inv_n)
+        # Final-iteration mask (see deviation note in the mono solver).
+        mask_left = valid & (man_l < thr_outlier)
+        mask_right = valid_right & (man_r < thr_outlier)
+        step_norm = jnp.linalg.norm(delta)
+        conv_now = jnp.logical_or(
+            step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
+        )
+        at_last = c.it == max_iter - 1
+        Rn, tn = planar_to_se3(theta_new)
+        Rni, tni = inverse_se3(Rn, tn)
+        debug_pose = _to_T(*compose(Rni, tni, R_bc, t_bc))
+        c = c._replace(mask_left=mask_left, mask_right=mask_right)
+        return _planar_record(
+            c, theta_new, err_curr, step_norm, conv_now, at_last, debug_pose
+        )
+
+    carry0 = _PlanarCarry(
+        theta=theta0,
+        err_prev=jnp.asarray(1e10, dtype=dtype),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        converged=jnp.asarray(True),
+        mask_left=valid,
+        mask_right=valid & has_right,
+        info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
+        num_info=jnp.asarray(0, jnp.int32),
+        debug_R=jnp.zeros((max_iter, 3, 3), dtype=dtype),
+        debug_t=jnp.zeros((max_iter, 3), dtype=dtype),
+    )
+    carry = jax.lax.while_loop(cond, body, carry0)
+    return _planar_result(carry, R_bc, t_bc)
+
+
+# ---------------------------------------------------------------------------
+# Batched (embarrassingly parallel over frames) variants
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_monocular_6dof_batched(
+    points, pixels, valid, intrinsics, poses, options: Options
+) -> PoseOnlyResult:
+    """vmap of `solve_monocular_6dof_jax` over a leading frame axis.
+
+    The reference runs one frame per call (pose_only...h:50-67); on TPU,
+    thousands of frames solve concurrently -- SURVEY.md §2 "embarrassingly-
+    parallel batch solve". Inputs gain a leading (B,) axis; `intrinsics` may
+    be (4,) shared or (B, 4).
+    """
+    in_axes = (0, 0, 0, 0 if intrinsics.ndim == 2 else None, 0, None)
+    return jax.vmap(
+        solve_monocular_6dof_jax, in_axes=in_axes
+    )(points, pixels, valid, intrinsics, poses, options)
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_stereo_6dof_batched(
+    points,
+    pixels_left,
+    pixels_right,
+    valid,
+    intrinsics_left,
+    intrinsics_right,
+    pose_left_to_right,
+    poses,
+    options: Options,
+) -> PoseOnlyResult:
+    """vmap of `solve_stereo_6dof_jax` over a leading frame axis (shared rig)."""
+    in_axes = (
+        0,
+        0,
+        0,
+        0,
+        0 if intrinsics_left.ndim == 2 else None,
+        0 if intrinsics_right.ndim == 2 else None,
+        0 if pose_left_to_right.ndim == 3 else None,
+        0,
+        None,
+    )
+    return jax.vmap(solve_stereo_6dof_jax, in_axes=in_axes)(
+        points,
+        pixels_left,
+        pixels_right,
+        valid,
+        intrinsics_left,
+        intrinsics_right,
+        pose_left_to_right,
+        poses,
+        options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side convenience wrappers (numpy in/out + Summary)
+# ---------------------------------------------------------------------------
+
+
+def _result_summary(res: PoseOnlyResult, options: Options) -> Summary:
+    return Summary.from_device_buffers(
+        info=np.asarray(res.info),
+        num_iterations=int(res.num_info),
+        converged=bool(res.converged),
+        max_iteration=options.iteration_handle.max_num_iterations,
+        threshold_step_size=options.convergence_handle.threshold_step_size,
+        threshold_cost_change=options.convergence_handle.threshold_cost_change,
+        total_time_ms=0.0,
+    )
+
+
+def solve_monocular_6dof(
+    points, pixels, intrinsics, pose_reference_to_current, options: Options
+):
+    """Host wrapper: numpy in, (pose, mask_inlier, summary, success) out.
+
+    Mirrors the reference signature Solve_Monocular_6Dof
+    (pose_only_bundle_adjustment_solver.h:28-35).
+    """
+    points = jnp.asarray(points, dtype=jnp.float32)
+    pixels = jnp.asarray(pixels, dtype=jnp.float32)
+    valid = jnp.ones(points.shape[0], dtype=bool)
+    res = solve_monocular_6dof_jax(
+        points,
+        pixels,
+        valid,
+        jnp.asarray(intrinsics, dtype=jnp.float32),
+        jnp.asarray(pose_reference_to_current, dtype=jnp.float32),
+        options,
+    )
+    summary = _result_summary(res, options)
+    pose = np.asarray(res.pose)
+    if not bool(res.success):  # NaN guard: keep the input pose (cpp:159-167)
+        pose = np.asarray(pose_reference_to_current)
+    return pose, np.asarray(res.mask_inlier), summary, bool(res.success)
+
+
+def solve_stereo_6dof(
+    points,
+    pixels_left,
+    pixels_right,
+    intrinsics_left,
+    intrinsics_right,
+    pose_left_to_right,
+    pose_reference_to_current_left,
+    options: Options,
+):
+    """Host wrapper mirroring Solve_Stereo_6Dof (h:36-49)."""
+    points = jnp.asarray(points, dtype=jnp.float32)
+    valid = jnp.ones(points.shape[0], dtype=bool)
+    res = solve_stereo_6dof_jax(
+        points,
+        jnp.asarray(pixels_left, dtype=jnp.float32),
+        jnp.asarray(pixels_right, dtype=jnp.float32),
+        valid,
+        jnp.asarray(intrinsics_left, dtype=jnp.float32),
+        jnp.asarray(intrinsics_right, dtype=jnp.float32),
+        jnp.asarray(pose_left_to_right, dtype=jnp.float32),
+        jnp.asarray(pose_reference_to_current_left, dtype=jnp.float32),
+        options,
+    )
+    summary = _result_summary(res, options)
+    pose = np.asarray(res.pose)
+    if not bool(res.success):
+        pose = np.asarray(pose_reference_to_current_left)
+    return (
+        pose,
+        np.asarray(res.mask_inlier),
+        np.asarray(res.mask_inlier_right),
+        summary,
+        bool(res.success),
+    )
+
+
+def solve_monocular_planar3dof(
+    points,
+    pixels,
+    intrinsics,
+    pose_base_to_camera,
+    pose_world_to_last,
+    pose_world_to_current,
+    options: Options,
+):
+    """Host wrapper mirroring Solve_Monocular_Planar3Dof (h:50-58)."""
+    points = jnp.asarray(points, dtype=jnp.float32)
+    valid = jnp.ones(points.shape[0], dtype=bool)
+    res = solve_monocular_planar3dof_jax(
+        points,
+        jnp.asarray(pixels, dtype=jnp.float32),
+        valid,
+        jnp.asarray(intrinsics, dtype=jnp.float32),
+        jnp.asarray(pose_base_to_camera, dtype=jnp.float32),
+        jnp.asarray(pose_world_to_last, dtype=jnp.float32),
+        jnp.asarray(pose_world_to_current, dtype=jnp.float32),
+        options,
+    )
+    summary = _result_summary(res, options)
+    pose = np.asarray(res.pose)
+    if not bool(res.success):
+        pose = np.asarray(pose_world_to_current)
+    return pose, np.asarray(res.mask_inlier), summary, bool(res.success)
+
+
+def solve_stereo_planar3dof(
+    points,
+    pixels_left,
+    pixels_right,
+    intrinsics_left,
+    intrinsics_right,
+    pose_base_to_camera,
+    pose_left_to_right,
+    pose_world_to_last,
+    pose_world_to_current,
+    options: Options,
+):
+    """Host wrapper mirroring Solve_Stereo_Planar3Dof (h:59-67)."""
+    points = jnp.asarray(points, dtype=jnp.float32)
+    valid = jnp.ones(points.shape[0], dtype=bool)
+    res = solve_stereo_planar3dof_jax(
+        points,
+        jnp.asarray(pixels_left, dtype=jnp.float32),
+        jnp.asarray(pixels_right, dtype=jnp.float32),
+        valid,
+        jnp.asarray(intrinsics_left, dtype=jnp.float32),
+        jnp.asarray(intrinsics_right, dtype=jnp.float32),
+        jnp.asarray(pose_base_to_camera, dtype=jnp.float32),
+        jnp.asarray(pose_left_to_right, dtype=jnp.float32),
+        jnp.asarray(pose_world_to_last, dtype=jnp.float32),
+        jnp.asarray(pose_world_to_current, dtype=jnp.float32),
+        options,
+    )
+    summary = _result_summary(res, options)
+    pose = np.asarray(res.pose)
+    if not bool(res.success):
+        pose = np.asarray(pose_world_to_current)
+    return (
+        pose,
+        np.asarray(res.mask_inlier),
+        np.asarray(res.mask_inlier_right),
+        summary,
+        bool(res.success),
+    )

@@ -1,0 +1,220 @@
+"""Seeded synthetic problem generators -- the reusable fixture library.
+
+The reference generates synthetic data ad hoc inside each test `main()` with
+non-reproducible `std::random_device` seeding (test/test_ba.cpp:110-111);
+here the same workloads are promoted to seeded, reusable generators
+(SURVEY.md §4 "Implication for the rebuild").
+
+Workloads reproduced:
+  - `frustum_cloud` / `mono_pose_only_problem`: the 300k-point monocular
+    pose-only benchmark (test/test_compare_ceres_vs_native.cpp:21-99).
+  - `landmark_wall`: the planar landmark grid (test/test_ba.cpp:53-77).
+  - `stereo_ba_problem`: the full stereo BA problem -- arc trajectory,
+    stereo rig, visibility culling, perturbed initials
+    (test/test_ba.cpp:100-274), with configurable pose/landmark counts so the
+    same generator scales to the 10k-pose / 1M-landmark target (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..models.camera import Camera, stereo_rig
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _roty(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def _T(R, t):
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def frustum_cloud(
+    num_points: int,
+    rng: np.random.Generator,
+    x_dev: float = 1.7,
+    y_dev: float = 1.3,
+    z_default: float = 1.2,
+    z_dev: float = 5.0,
+) -> np.ndarray:
+    """Random points in a camera frustum (test_compare_ceres_vs_native.cpp:32-47)."""
+    x = rng.uniform(-x_dev, x_dev, num_points)
+    y = rng.uniform(-y_dev, y_dev, num_points)
+    z = rng.uniform(0.0, z_dev, num_points) + z_default
+    return np.stack([x, y, z], axis=-1)
+
+
+@dataclasses.dataclass
+class MonoPoseOnlyProblem:
+    points: np.ndarray  # (P, 3) world points
+    pixels: np.ndarray  # (P, 2) observed pixels in the current frame
+    intrinsics: np.ndarray  # (4,) fx, fy, cx, cy
+    pose_true: np.ndarray  # (4, 4) true world<-current pose (T_wc)
+    pose_initial: np.ndarray  # (4, 4) initial guess
+
+
+def mono_pose_only_problem(
+    num_points: int = 300_000,
+    seed: int = 0,
+    pixel_noise: float = 0.0,
+    fx: float = 338.0,
+    fy: float = 338.0,
+    cx: float = 320.0,
+    cy: float = 240.0,
+) -> MonoPoseOnlyProblem:
+    """The 300k-point monocular 6-DoF benchmark problem
+    (test_compare_ceres_vs_native.cpp:73-111): true pose rotated -0.5 rad
+    about +y, translated (0.2, 0.3, -1.9); identity initial guess."""
+    rng = np.random.default_rng(seed)
+    pose_true = _T(_roty(-0.5), np.array([0.2, 0.3, -1.9]))
+    points = frustum_cloud(num_points, rng)
+
+    T_cw = np.linalg.inv(pose_true)
+    local = points @ T_cw[:3, :3].T + T_cw[:3, 3]
+    inv_z = 1.0 / local[:, 2]
+    pixels = np.stack(
+        [fx * local[:, 0] * inv_z + cx, fy * local[:, 1] * inv_z + cy], axis=-1
+    )
+    if pixel_noise > 0:
+        pixels = pixels + rng.normal(0.0, pixel_noise, pixels.shape)
+    return MonoPoseOnlyProblem(
+        points=points,
+        pixels=pixels,
+        intrinsics=np.array([fx, fy, cx, cy]),
+        pose_true=pose_true,
+        pose_initial=np.eye(4),
+    )
+
+
+def landmark_wall(
+    x_nominal: float = 8.5,
+    y_range: tuple[float, float] = (0.0, 26.0),
+    z_range: tuple[float, float] = (1.7, 5.7),
+    y_step: float = 0.4,
+    z_step: float = 0.4,
+) -> np.ndarray:
+    """Planar landmark grid at x = x_nominal (test/test_ba.cpp:53-77)."""
+    ys = np.arange(y_range[0], y_range[1] + 1e-9, y_step)
+    zs = np.arange(z_range[0], z_range[1] + 1e-9, z_step)
+    zz, yy = np.meshgrid(zs, ys, indexing="ij")
+    xx = np.full_like(yy, x_nominal)
+    return np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)
+
+
+@dataclasses.dataclass
+class StereoBAProblem:
+    """A full stereo BA problem in builder-ready form."""
+
+    cameras: list  # [Camera] (left, right)
+    poses_true: np.ndarray  # (N, 4, 4) true T_wc (world<-ref-camera)
+    poses_initial: np.ndarray  # (N, 4, 4) perturbed T_wc
+    points_true: np.ndarray  # (M, 3)
+    points_initial: np.ndarray  # (M, 3) perturbed
+    fixed_pose_ids: np.ndarray  # (F,) indices of gauge-fixed poses
+    obs_camera: np.ndarray  # (O,) camera index per observation
+    obs_pose: np.ndarray  # (O,) pose index
+    obs_point: np.ndarray  # (O,) point index
+    obs_pixel: np.ndarray  # (O, 2)
+
+
+def stereo_ba_problem(
+    num_poses: int = 60,
+    num_fixed_poses: int = 5,
+    seed: int = 42,
+    pixel_noise: float = 0.0,
+    point_error: float = 0.5,
+    pose_translation_error: float = 0.1,
+    image_width: int = 640,
+    image_height: int = 480,
+    landmarks: np.ndarray | None = None,
+    fx: float = 525.0,
+    fy: float = 525.0,
+    cx: float = 320.0,
+    cy: float = 240.0,
+    baseline: float = 0.12,
+) -> StereoBAProblem:
+    """The test_ba synthetic stereo problem (test/test_ba.cpp:100-274).
+
+    Trajectory: base frame starts at (-4, -2.5, 0) with -0.1 rad yaw and per
+    frame advances yaw +0.005, x +0.005, y +0.2 (cpp:142-171); camera mounted
+    with R = Ry(pi/2) Rz(-pi/2) (cpp:134-139). Pass a larger `landmarks` array
+    and `num_poses` to scale the same geometry up to the 10k/1M target.
+    """
+    rng = np.random.default_rng(seed)
+    left, right = stereo_rig(fx, fy, cx, cy, baseline)
+    cameras = [left, right]
+    # Right camera maps ref->right with t = -baseline (see stereo_rig); for
+    # observation synthesis we need the same transform:
+    cam_R = [c.R_cam_from_ref for c in cameras]
+    cam_t = [c.t_cam_from_ref for c in cameras]
+
+    if landmarks is None:
+        landmarks = landmark_wall()
+    M = landmarks.shape[0]
+
+    base_to_camera = _T(_roty(np.pi / 2) @ _rotz(-np.pi / 2), np.zeros(3))
+
+    poses_true = np.zeros((num_poses, 4, 4))
+    R_wb = _rotz(-0.1)
+    t_wb = np.array([-4.0, -2.5, 0.0])
+    for j in range(num_poses):
+        R_wb = R_wb @ _rotz(0.005)
+        t_wb = t_wb + np.array([0.005, 0.2, 0.0])
+        poses_true[j] = _T(R_wb, t_wb) @ base_to_camera
+
+    poses_initial = poses_true.copy()
+    for j in range(num_fixed_poses, num_poses):
+        poses_initial[j, :3, 3] += rng.uniform(-pose_translation_error,
+                                               pose_translation_error, 3)
+
+    points_initial = landmarks + rng.uniform(-point_error, point_error,
+                                             landmarks.shape)
+
+    obs_camera, obs_pose, obs_point, obs_pixel = [], [], [], []
+    for j in range(num_poses):
+        T_cw = np.linalg.inv(poses_true[j])
+        local = landmarks @ T_cw[:3, :3].T + T_cw[:3, 3]
+        for k in range(2):
+            lk = local @ cam_R[k].T + cam_t[k]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv_z = 1.0 / lk[:, 2]
+                u = fx * lk[:, 0] * inv_z + cx
+                v = fy * lk[:, 1] * inv_z + cy
+            if pixel_noise > 0:
+                u = u + rng.normal(0, pixel_noise, M)
+                v = v + rng.normal(0, pixel_noise, M)
+            seen = (
+                (lk[:, 2] > 0)
+                & (u > 0) & (u < image_width)
+                & (v > 0) & (v < image_height)
+            )
+            ids = np.nonzero(seen)[0]
+            obs_camera.append(np.full(ids.shape, k, dtype=np.int32))
+            obs_pose.append(np.full(ids.shape, j, dtype=np.int32))
+            obs_point.append(ids.astype(np.int32))
+            obs_pixel.append(np.stack([u[ids], v[ids]], axis=-1))
+
+    return StereoBAProblem(
+        cameras=cameras,
+        poses_true=poses_true,
+        poses_initial=poses_initial,
+        points_true=landmarks,
+        points_initial=points_initial,
+        fixed_pose_ids=np.arange(num_fixed_poses),
+        obs_camera=np.concatenate(obs_camera),
+        obs_pose=np.concatenate(obs_pose),
+        obs_point=np.concatenate(obs_point),
+        obs_pixel=np.concatenate(obs_pixel),
+    )

@@ -1,0 +1,268 @@
+"""End-to-end pose-only solver tests on synthetic ground truth.
+
+Asserting ports of the reference's eyeball tests (SURVEY.md §4): the
+test_compare mono 6-DoF problem (test_compare_ceres_vs_native.cpp:73-136),
+a stereo 6-DoF problem (test_6dof_stereo_poseonly_ba.cpp workload), and
+planar 3-DoF problems (test_3dof_mono_poseonly_ba.cpp workload).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundle_adjustment_solver_tpu import Options
+from bundle_adjustment_solver_tpu.ops import lie
+from bundle_adjustment_solver_tpu.solvers import pose_only
+from bundle_adjustment_solver_tpu.utils.synthetic import mono_pose_only_problem
+
+
+def _pose_error(T_est, T_true):
+    dT = np.linalg.inv(T_est) @ T_true
+    rot_err = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(dT[:3, :3]))))
+    trans_err = np.linalg.norm(dT[:3, 3])
+    return rot_err, trans_err
+
+
+def make_options(max_iter=100, thr=1e-6, huber=1.0, outlier=2.5):
+    from bundle_adjustment_solver_tpu.options import (
+        ConvergenceHandle,
+        IterationHandle,
+        OutlierHandle,
+    )
+
+    return Options(
+        convergence_handle=ConvergenceHandle(thr, thr),
+        outlier_handle=OutlierHandle(huber, outlier),
+        iteration_handle=IterationHandle(max_iter),
+    )
+
+
+class TestMono6Dof:
+    def test_recovers_truth_small(self):
+        """Fast version of the 300k benchmark: 5k points, zero noise."""
+        prob = mono_pose_only_problem(num_points=5000, seed=0)
+        opts = make_options()
+        pose, mask, summary, ok = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial, opts
+        )
+        assert ok
+        rot_err, trans_err = _pose_error(pose, prob.pose_true)
+        assert rot_err < 1e-3, f"rotation error {rot_err}"
+        assert trans_err < 1e-3, f"translation error {trans_err}"
+        assert summary.convergence_status
+        assert mask.all()  # zero noise: everything is an inlier
+
+    def test_with_pixel_noise(self):
+        prob = mono_pose_only_problem(num_points=5000, seed=1, pixel_noise=0.5)
+        opts = make_options()
+        pose, mask, summary, ok = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial, opts
+        )
+        assert ok
+        rot_err, trans_err = _pose_error(pose, prob.pose_true)
+        assert rot_err < 5e-3
+        assert trans_err < 1e-2
+
+    def test_debug_pose_trace(self):
+        prob = mono_pose_only_problem(num_points=1000, seed=2)
+        opts = make_options(max_iter=30)
+        points = jnp.asarray(prob.points, jnp.float32)
+        pixels = jnp.asarray(prob.pixels, jnp.float32)
+        valid = jnp.ones(points.shape[0], bool)
+        res = pose_only.solve_monocular_6dof_jax(
+            points,
+            pixels,
+            valid,
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.pose_initial, jnp.float32),
+            opts,
+        )
+        n = int(res.num_debug)
+        assert n >= 1
+        # Trace entries are valid SE(3) poses and converge toward the answer.
+        for i in range(n):
+            T = np.asarray(res.debug_poses[i])
+            np.testing.assert_allclose(
+                T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-4
+            )
+        final_from_trace = np.asarray(res.debug_poses[n - 1])
+        np.testing.assert_allclose(final_from_trace, np.asarray(res.pose), atol=1e-5)
+
+
+class TestStereo6Dof:
+    def _make_problem(self, n=3000, seed=3, drop_right_frac=0.2):
+        rng = np.random.default_rng(seed)
+        prob = mono_pose_only_problem(num_points=n, seed=seed, fx=525.0, fy=525.0)
+        baseline = 0.12
+        T_lr = np.eye(4)
+        T_lr[0, 3] = baseline  # left_to_right_pose (test_ba.cpp:82-85)
+        T_rl = np.linalg.inv(T_lr)
+        T_cw = np.linalg.inv(prob.pose_true)
+        local_l = prob.points @ T_cw[:3, :3].T + T_cw[:3, 3]
+        local_r = local_l @ T_rl[:3, :3].T + T_rl[:3, 3]
+        fx, fy, cx, cy = prob.intrinsics
+        pix_r = np.stack(
+            [
+                fx * local_r[:, 0] / local_r[:, 2] + cx,
+                fy * local_r[:, 1] / local_r[:, 2] + cy,
+            ],
+            axis=-1,
+        )
+        # Mark a fraction as "no right match" with negative pixels (cpp:298).
+        drop = rng.uniform(size=n) < drop_right_frac
+        pix_r[drop] = -1.0
+        return prob, pix_r, T_lr
+
+    def test_recovers_truth(self):
+        prob, pix_r, T_lr = self._make_problem()
+        opts = make_options()
+        pose, mask_l, mask_r, summary, ok = pose_only.solve_stereo_6dof(
+            prob.points,
+            prob.pixels,
+            pix_r,
+            prob.intrinsics,
+            prob.intrinsics,
+            T_lr,
+            prob.pose_initial,
+            opts,
+        )
+        assert ok
+        rot_err, trans_err = _pose_error(pose, prob.pose_true)
+        assert rot_err < 1e-3
+        assert trans_err < 1e-3
+        assert summary.convergence_status
+
+
+class TestPlanar3Dof:
+    def _make_problem(self, n=2000, seed=4, stereo=False):
+        rng = np.random.default_rng(seed)
+        # Base->camera mounting: camera looks along base +x
+        # (test_3dof-style robot extrinsic chain).
+        from bundle_adjustment_solver_tpu.utils.synthetic import _roty, _rotz, _T
+
+        R_bc = _roty(np.pi / 2) @ _rotz(-np.pi / 2)
+        base_to_camera = _T(R_bc, np.array([0.1, 0.05, 0.3]))
+
+        # True planar motion of base2<-base1.
+        theta_true = np.array([0.3, -0.2, 0.15])
+        c, s = np.cos(theta_true[2]), np.sin(theta_true[2])
+        T_b2b1 = np.eye(4)
+        T_b2b1[:2, :2] = [[c, -s], [s, c]]
+        T_b2b1[:2, 3] = theta_true[:2]
+
+        # Points in the base1 frame, in front of the camera (+x of base).
+        pts = np.stack(
+            [
+                rng.uniform(3, 10, n),
+                rng.uniform(-3, 3, n),
+                rng.uniform(-1, 2, n),
+            ],
+            axis=-1,
+        )
+        fx, fy, cx, cy = 525.0, 525.0, 320.0, 240.0
+        T_cb = np.linalg.inv(base_to_camera)
+        T_c2b1 = T_cb @ T_b2b1
+        loc = pts @ T_c2b1[:3, :3].T + T_c2b1[:3, 3]
+        pix = np.stack(
+            [fx * loc[:, 0] / loc[:, 2] + cx, fy * loc[:, 1] / loc[:, 2] + cy],
+            axis=-1,
+        )
+        # world == base1 frame, so the last frame's camera pose is the rig
+        # extrinsic itself: T_wc1 = base_to_camera. The solver extracts the
+        # planar prior from T_b2b1 = T_bc (T_wc2)^-1 T_wc1 T_cb (cpp:449-460).
+        # True: T_wc2 = T_b2b1^-1 @ base_to_camera (cpp:549-550).
+        T_wc2_true = np.linalg.inv(T_b2b1) @ base_to_camera
+        # Initial guess: identity planar motion => T_wc2 = base_to_camera.
+        T_wc2_init = base_to_camera.copy()
+
+        out = dict(
+            points=pts,
+            pixels=pix,
+            intrinsics=np.array([fx, fy, cx, cy]),
+            base_to_camera=base_to_camera,
+            T_wlast=base_to_camera.copy(),
+            T_wc_init=T_wc2_init,
+            T_wc_true=T_wc2_true,
+            theta_true=theta_true,
+        )
+        if stereo:
+            T_lr = np.eye(4)
+            T_lr[0, 3] = 0.12
+            T_rl = np.linalg.inv(T_lr)
+            loc_r = loc @ T_rl[:3, :3].T + T_rl[:3, 3]
+            pix_r = np.stack(
+                [
+                    fx * loc_r[:, 0] / loc_r[:, 2] + cx,
+                    fy * loc_r[:, 1] / loc_r[:, 2] + cy,
+                ],
+                axis=-1,
+            )
+            out["pixels_right"] = pix_r
+            out["T_lr"] = T_lr
+        return out
+
+    def test_mono_recovers_truth(self):
+        p = self._make_problem()
+        opts = make_options(max_iter=200)
+        pose, mask, summary, ok = pose_only.solve_monocular_planar3dof(
+            p["points"],
+            p["pixels"],
+            p["intrinsics"],
+            p["base_to_camera"],
+            p["T_wlast"],
+            p["T_wc_init"],
+            opts,
+        )
+        assert ok
+        rot_err, trans_err = _pose_error(pose, p["T_wc_true"])
+        assert rot_err < 1e-3, f"rotation error {rot_err}"
+        assert trans_err < 1e-3, f"translation error {trans_err}"
+
+    def test_stereo_recovers_truth(self):
+        p = self._make_problem(stereo=True)
+        opts = make_options(max_iter=200)
+        pose, mask_l, mask_r, summary, ok = pose_only.solve_stereo_planar3dof(
+            p["points"],
+            p["pixels"],
+            p["pixels_right"],
+            p["intrinsics"],
+            p["intrinsics"],
+            p["base_to_camera"],
+            p["T_lr"],
+            p["T_wlast"],
+            p["T_wc_init"],
+            opts,
+        )
+        assert ok
+        rot_err, trans_err = _pose_error(pose, p["T_wc_true"])
+        assert rot_err < 1e-3
+        assert trans_err < 1e-3
+
+
+class TestBatched:
+    def test_batched_mono_matches_single(self):
+        B = 8
+        probs = [mono_pose_only_problem(num_points=500, seed=s) for s in range(B)]
+        opts = make_options(max_iter=50)
+        points = jnp.asarray(np.stack([p.points for p in probs]), jnp.float32)
+        pixels = jnp.asarray(np.stack([p.pixels for p in probs]), jnp.float32)
+        valid = jnp.ones(points.shape[:2], bool)
+        intr = jnp.asarray(probs[0].intrinsics, jnp.float32)
+        poses0 = jnp.asarray(np.stack([p.pose_initial for p in probs]), jnp.float32)
+
+        batched = pose_only.solve_monocular_6dof_batched(
+            points, pixels, valid, intr, poses0, opts
+        )
+        assert bool(batched.success.all())
+        for b in range(B):
+            single = pose_only.solve_monocular_6dof_jax(
+                points[b], pixels[b], valid[b], intr, poses0[b], opts
+            )
+            np.testing.assert_allclose(
+                np.asarray(batched.pose[b]), np.asarray(single.pose), atol=1e-5
+            )
+            rot_err, trans_err = _pose_error(
+                np.asarray(batched.pose[b]), probs[b].pose_true
+            )
+            assert rot_err < 2e-3
+            assert trans_err < 2e-3
