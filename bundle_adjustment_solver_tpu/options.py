@@ -87,6 +87,10 @@ class Options:
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-8
     gd_step_clip: float = 0.001
+    # 'reference' reproduces the reference's cost: sum of residual L2 norms
+    # (full cpp:427, a quirk -- the quadratic model is in squared units);
+    # 'squared' uses the robust squared cost.
+    cost_metric: str = "reference"
 
     def replace(self, **kwargs) -> "Options":
         return dataclasses.replace(self, **kwargs)
