@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark: full stereo BA throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.json primary config, scaled to one chip): corridor stereo
+BA -- 2,000 poses / 200,000 landmarks / 2.4M observations -- solved with the
+matrix-free Schur-CG LM solver, measuring LM iterations/s and
+observations x LM-iterations per second per chip.
+
+Baseline: the reference (ChanghyeonKim93/bundle_adjustment_solver) publishes
+no numbers (BASELINE.md); its serial C++ observation loop costs ~1 us per
+observation per LM iteration on desktop x86 (hand-expanded Eigen arithmetic,
+full cpp:716-831, plus O(N*M) zeroing per iteration, cpp:343-379 -- and its
+dense storage cannot represent this problem size at all). We use
+1e6 obs-iterations/s as the reference-throughput estimate, so
+vs_baseline = value / 1e6.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Benchmark runs on the real chip: do NOT force CPU here.
+import jax
+
+from bundle_adjustment_solver_tpu.models.problem import finalized_from_arrays
+from bundle_adjustment_solver_tpu.options import (
+    ConvergenceHandle,
+    IterationHandle,
+    Options,
+    SolverType,
+)
+from bundle_adjustment_solver_tpu.solvers import full_ba
+from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
+
+NUM_POSES = int(os.environ.get("BENCH_POSES", 2000))
+NUM_POINTS = int(os.environ.get("BENCH_POINTS", 200_000))
+WINDOW = int(os.environ.get("BENCH_WINDOW", 6))
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 20))
+
+
+def build():
+    prob = corridor_ba_problem(
+        num_poses=NUM_POSES, num_points=NUM_POINTS, window=WINDOW, seed=123
+    )
+    fixed_pose = np.zeros(NUM_POSES, dtype=bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras,
+        prob.poses_initial,
+        prob.points_initial,
+        prob.obs_camera,
+        prob.obs_pose,
+        prob.obs_point,
+        prob.obs_pixel,
+        fixed_pose_mask=fixed_pose,
+    )
+    return prob, problem, shape
+
+
+def options(max_iter):
+    # Thresholds at 0 force exactly max_iter LM iterations (no early exit).
+    return Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(max_iter),
+        reduced_system="cg",
+        cg_max_iterations=25,
+        cg_tolerance=1e-6,
+    )
+
+
+def main():
+    dev = jax.devices()[0]
+    prob, problem, shape = build()
+    n_obs = shape.num_observations
+
+    # Move the problem to device once (production solvers keep state
+    # resident; the tunnel makes per-call H2D expensive).
+    problem = jax.device_put(problem, dev)
+
+    # Warm-up / compile (2 iterations).
+    state = full_ba._solve_jax(problem, shape, options(2), "cg")
+    jax.block_until_ready(state)
+
+    # Timed run.
+    t0 = time.perf_counter()
+    state = full_ba._solve_jax(problem, shape, options(TIMED_ITERS), "cg")
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    iters_per_s = TIMED_ITERS / elapsed
+    obs_iters_per_s = n_obs * iters_per_s
+    rmse = float(state.final_rmse_px)
+
+    result = {
+        "metric": (
+            "full_BA_observations_x_LM-iterations_per_second_per_chip "
+            f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {n_obs} obs, "
+            f"schur-CG LM, final_rmse_px={rmse:.4f}, "
+            f"lm_iters_per_s={iters_per_s:.3f})"
+        ),
+        "value": round(obs_iters_per_s, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(obs_iters_per_s / 1e6, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

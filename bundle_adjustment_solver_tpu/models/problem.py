@@ -71,6 +71,93 @@ class ProblemShape:
         return self.num_points - self.num_opt_points
 
 
+def finalized_from_arrays(
+    cameras,
+    poses_world_to_camera: np.ndarray,  # (N, 4, 4)
+    points: np.ndarray,  # (M, 3)
+    obs_cam: np.ndarray,  # (O,)
+    obs_pose: np.ndarray,  # (O,)
+    obs_point: np.ndarray,  # (O,)
+    obs_pixel: np.ndarray,  # (O, 2)
+    fixed_pose_mask: np.ndarray | None = None,  # (N,) bool
+    fixed_point_mask: np.ndarray | None = None,  # (M,) bool
+    scale: float = 0.01,
+    dtype=jnp.float32,
+) -> tuple["FinalizedProblem", "ProblemShape"]:
+    """Vectorized bulk construction of a finalized problem.
+
+    The builder below mirrors the reference's one-at-a-time registration
+    (AddObservation per pixel, test_ba.cpp:254-274); at millions of
+    observations that is a Python-loop bottleneck the reference never faced
+    (its max workload is 300k). This is the array-native fast path.
+    """
+    N = poses_world_to_camera.shape[0]
+    M = points.shape[0]
+    if fixed_pose_mask is None:
+        fixed_pose_mask = np.zeros(N, dtype=bool)
+    if fixed_point_mask is None:
+        fixed_point_mask = np.zeros(M, dtype=bool)
+
+    n_opt = int((~fixed_pose_mask).sum())
+    m_opt = int((~fixed_point_mask).sum())
+    pose_opt_of = np.full(N, n_opt, dtype=np.int32)
+    pose_opt_of[~fixed_pose_mask] = np.arange(n_opt, dtype=np.int32)
+    point_opt_of = np.full(M, m_opt, dtype=np.int32)
+    point_opt_of[~fixed_point_mask] = np.arange(m_opt, dtype=np.int32)
+
+    R_wc = poses_world_to_camera[:, :3, :3]
+    t_wc = poses_world_to_camera[:, :3, 3]
+    R_cw = np.transpose(R_wc, (0, 2, 1))
+    t_cw = -np.einsum("nij,nj->ni", R_cw, t_wc) * scale
+
+    obs_cam = np.asarray(obs_cam, dtype=np.int32)
+    obs_pose = np.asarray(obs_pose, dtype=np.int32)
+    obs_point = np.asarray(obs_point, dtype=np.int32)
+    obs_pixel = np.asarray(obs_pixel, dtype=np.float64) * scale
+    obs_pose_opt = pose_opt_of[obs_pose]
+    obs_point_opt = point_opt_of[obs_point]
+
+    order = np.lexsort((obs_pose_opt, obs_point_opt))
+    obs_cam, obs_pose, obs_point = (
+        obs_cam[order],
+        obs_pose[order],
+        obs_point[order],
+    )
+    obs_pixel = obs_pixel[order]
+    obs_pose_opt, obs_point_opt = obs_pose_opt[order], obs_point_opt[order]
+
+    rig = CameraRig.from_cameras(list(cameras), scale=scale, dtype=dtype)
+    finalized = FinalizedProblem(
+        rig=rig,
+        R_cw=jnp.asarray(R_cw, dtype=dtype),
+        t_cw=jnp.asarray(t_cw, dtype=dtype),
+        points=jnp.asarray(points * scale, dtype=dtype),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pose=jnp.asarray(obs_pose),
+        obs_point=jnp.asarray(obs_point),
+        obs_pixel=jnp.asarray(obs_pixel, dtype=dtype),
+        obs_pose_opt=jnp.asarray(obs_pose_opt),
+        obs_point_opt=jnp.asarray(obs_point_opt),
+        obs_valid=jnp.ones(obs_cam.shape[0], dtype=bool),
+        opt_pose_idx=jnp.asarray(
+            np.nonzero(~fixed_pose_mask)[0].astype(np.int32)
+        ),
+        opt_point_idx=jnp.asarray(
+            np.nonzero(~fixed_point_mask)[0].astype(np.int32)
+        ),
+    )
+    shape = ProblemShape(
+        num_poses=N,
+        num_points=M,
+        num_observations=obs_cam.shape[0],
+        num_opt_poses=n_opt,
+        num_opt_points=m_opt,
+        num_cameras=len(list(cameras)),
+        scale=scale,
+    )
+    return finalized, shape
+
+
 class FullBundleAdjustmentSolver:
     """Id-keyed full-BA problem builder + solve entry point.
 

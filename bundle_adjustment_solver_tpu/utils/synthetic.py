@@ -129,6 +129,122 @@ class StereoBAProblem:
     obs_pixel: np.ndarray  # (O, 2)
 
 
+def corridor_ba_problem(
+    num_poses: int,
+    num_points: int,
+    window: int = 6,
+    seed: int = 0,
+    point_error: float = 0.3,
+    pose_translation_error: float = 0.05,
+    pixel_noise: float = 0.0,
+    fx: float = 525.0,
+    fy: float = 525.0,
+    cx: float = 320.0,
+    cy: float = 240.0,
+    baseline: float = 0.12,
+    num_fixed_poses: int = 2,
+) -> StereoBAProblem:
+    """Scalable 'corridor' stereo BA generator, fully vectorized.
+
+    The camera travels along +y looking at a wall at x = 5 (same viewing
+    geometry as test_ba.cpp but with bounded co-visibility): landmark i is
+    anchored to a pose and observed by `window` consecutive poses through
+    both cameras, so #observations = 2 * window * num_points independent of
+    trajectory length. This is the 10k-pose / 1M-landmark workload shape
+    (BASELINE.json "map-block partition") that the reference's dense N x M
+    storage cannot represent (SURVEY.md §6).
+    """
+    rng = np.random.default_rng(seed)
+    left, right = stereo_rig(fx, fy, cx, cy, baseline)
+    cam_R = np.stack([left.R_cam_from_ref, right.R_cam_from_ref])
+    cam_t = np.stack([left.t_cam_from_ref, right.t_cam_from_ref])
+
+    # Camera mounted looking along +x of the base (test_ba.cpp:134-139).
+    R_bc = _roty(np.pi / 2) @ _rotz(-np.pi / 2)
+    y_step = 0.2
+    t_wb = np.stack(
+        [
+            np.full(num_poses, -4.0),
+            -2.5 + y_step * np.arange(num_poses),
+            np.zeros(num_poses),
+        ],
+        axis=-1,
+    )
+    R_wc = np.broadcast_to(R_bc, (num_poses, 3, 3))
+    poses_true = np.zeros((num_poses, 4, 4))
+    poses_true[:, :3, :3] = R_wc
+    poses_true[:, :3, 3] = t_wb
+    poses_true[:, 3, 3] = 1.0
+
+    # Landmarks on a wall at x ~ 5, spread along the trajectory.
+    anchor = rng.integers(0, max(num_poses - window, 1), num_points)
+    pts = np.stack(
+        [
+            rng.uniform(4.0, 7.0, num_points),
+            t_wb[anchor, 1] + rng.uniform(0.0, window * y_step, num_points),
+            rng.uniform(-1.5, 1.5, num_points),
+        ],
+        axis=-1,
+    )
+
+    # Observations: point i seen from poses anchor..anchor+window-1, 2 cams.
+    obs_point = np.repeat(np.arange(num_points, dtype=np.int32), window)
+    obs_pose = (
+        anchor.astype(np.int32)[:, None] + np.arange(window, dtype=np.int32)
+    ).reshape(-1)
+    obs_pose = np.minimum(obs_pose, num_poses - 1)
+    obs_point = np.concatenate([obs_point, obs_point])
+    obs_pose = np.concatenate([obs_pose, obs_pose])
+    obs_camera = np.concatenate(
+        [
+            np.zeros(num_points * window, dtype=np.int32),
+            np.ones(num_points * window, dtype=np.int32),
+        ]
+    )
+
+    # Project through the true geometry (vectorized).
+    R_cw = np.transpose(poses_true[:, :3, :3], (0, 2, 1))
+    t_cw = -np.einsum("nij,nj->ni", R_cw, poses_true[:, :3, 3])
+    local = (
+        np.einsum("oij,oj->oi", R_cw[obs_pose], pts[obs_point])
+        + t_cw[obs_pose]
+    )
+    local = (
+        np.einsum("oij,oj->oi", cam_R[obs_camera], local) + cam_t[obs_camera]
+    )
+    inv_z = 1.0 / local[:, 2]
+    obs_pixel = np.stack(
+        [
+            fx * local[:, 0] * inv_z + cx,
+            fy * local[:, 1] * inv_z + cy,
+        ],
+        axis=-1,
+    )
+    if pixel_noise > 0:
+        obs_pixel = obs_pixel + rng.normal(0, pixel_noise, obs_pixel.shape)
+
+    poses_initial = poses_true.copy()
+    poses_initial[num_fixed_poses:, :3, 3] += rng.uniform(
+        -pose_translation_error,
+        pose_translation_error,
+        (num_poses - num_fixed_poses, 3),
+    )
+    points_initial = pts + rng.uniform(-point_error, point_error, pts.shape)
+
+    return StereoBAProblem(
+        cameras=[left, right],
+        poses_true=poses_true,
+        poses_initial=poses_initial,
+        points_true=pts,
+        points_initial=points_initial,
+        fixed_pose_ids=np.arange(num_fixed_poses),
+        obs_camera=obs_camera,
+        obs_pose=obs_pose,
+        obs_point=obs_point,
+        obs_pixel=obs_pixel,
+    )
+
+
 def stereo_ba_problem(
     num_poses: int = 60,
     num_fixed_poses: int = 5,
