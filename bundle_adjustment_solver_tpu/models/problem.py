@@ -117,7 +117,9 @@ def finalized_from_arrays(
     obs_pose_opt = pose_opt_of[obs_pose]
     obs_point_opt = point_opt_of[obs_point]
 
-    order = np.lexsort((obs_pose_opt, obs_point_opt))
+    from ..utils.native import sort_by_segments
+
+    order = sort_by_segments(obs_point_opt, obs_pose_opt, m_opt + 1, n_opt + 1)
     obs_cam, obs_pose, obs_point = (
         obs_cam[order],
         obs_pose[order],
@@ -314,8 +316,11 @@ class FullBundleAdjustmentSolver:
         obs_pose_opt = pose_opt_of[obs_pose]
         obs_point_opt = point_opt_of[obs_point]
 
-        # Sort by (point_opt, pose_opt) for segment locality.
-        order = np.lexsort((obs_pose_opt, obs_point_opt))
+        # Sort by (point_opt, pose_opt) for segment locality (native
+        # counting sort when the C library is available).
+        from ..utils.native import sort_by_segments
+
+        order = sort_by_segments(obs_point_opt, obs_pose_opt, m_opt + 1, n_opt + 1)
         obs_cam, obs_pose, obs_point = (
             obs_cam[order],
             obs_pose[order],
@@ -405,6 +410,36 @@ class FullBundleAdjustmentSolver:
         if self._solved_points is None:
             raise RuntimeError("solve() has not been run.")
         return self._solved_points
+
+    def check_connectivity(
+        self, min_points_per_pose: int = 5, min_poses_per_point: int = 2
+    ) -> list[str]:
+        """Divergence-risk warnings, mirroring CheckPoseAndPointConnectivity
+        (full cpp:310-341: a pose seeing < 5 points or a point seen by < 2
+        poses may diverge). Unique-pair counts come from the native
+        connectivity kernel (csrc/problem_compiler.cpp) when available."""
+        from ..utils.native import connectivity
+
+        _, s = self.finalize()
+        fin = self._finalized
+        ppp, ppt = connectivity(
+            np.asarray(fin.obs_pose),
+            np.asarray(fin.obs_point),
+            s.num_poses,
+            s.num_points,
+        )
+        warnings = []
+        for j in np.nonzero(ppp < min_points_per_pose)[0]:
+            warnings.append(
+                f"{j}-th pose: it might diverge because this frame has "
+                f"insufficient related points ({ppp[j]})."
+            )
+        for i in np.nonzero((ppt > 0) & (ppt < min_poses_per_point))[0]:
+            warnings.append(
+                f"{i}-th point: it might diverge because this point has "
+                f"insufficient related poses ({ppt[i]})."
+            )
+        return warnings
 
     def get_solver_statistics(self) -> str:
         """Problem-shape dump (reference GetSolverStatistics, cpp:208-239;

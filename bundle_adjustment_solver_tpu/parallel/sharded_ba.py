@@ -111,17 +111,11 @@ def shard_problem(
     O = shape.num_observations
     counts = np.bincount(obs_point_sorted, minlength=M)
 
-    # Greedy contiguous partition of point ids balancing observation counts.
-    target = O / num_shards
-    boundaries = [0]
-    acc = 0
-    for pid in range(M):
-        acc += counts[pid]
-        if acc >= target * len(boundaries) and len(boundaries) < num_shards:
-            boundaries.append(pid + 1)
-    while len(boundaries) < num_shards:
-        boundaries.append(M)
-    boundaries.append(M)
+    # Greedy contiguous partition of point ids balancing observation counts
+    # (native when the C library is available).
+    from ..utils.native import partition_landmarks
+
+    boundaries = partition_landmarks(counts, O, num_shards)
 
     point_opt_of = np.full(M, -1, dtype=np.int32)
     point_opt_of[np.asarray(problem.opt_point_idx)] = np.arange(

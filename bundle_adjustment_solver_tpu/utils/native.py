@@ -1,0 +1,180 @@
+"""ctypes bindings for the native problem compiler (csrc/problem_compiler.cpp).
+
+Builds the shared library on first use (g++ -O3 -shared) into the package's
+`_native` directory; every entry point has a pure-numpy fallback so the
+package works without a toolchain. See csrc/problem_compiler.cpp for what
+each routine replaces in the reference.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _source_path() -> pathlib.Path:
+    return (
+        pathlib.Path(__file__).resolve().parents[2] / "csrc" /
+        "problem_compiler.cpp"
+    )
+
+
+def _lib_path() -> pathlib.Path:
+    return pathlib.Path(__file__).resolve().parent / "_native" / "libbacompile.so"
+
+
+def _build() -> pathlib.Path | None:
+    src = _source_path()
+    out = _lib_path()
+    if not src.exists():
+        return None
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(src), "-o", str(out),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception:
+        return None
+    return out
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        path = _build()
+        if path is None or not path.exists():
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ba_sort_by_segments.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p
+        ]
+        lib.ba_sort_by_segments.restype = ctypes.c_int
+        lib.ba_connectivity.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p,
+        ]
+        lib.ba_connectivity.restype = ctypes.c_int
+        lib.ba_partition_landmarks.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p
+        ]
+        lib.ba_partition_landmarks.restype = ctypes.c_int
+        _LIB = lib
+        return _LIB
+
+
+def _i32(a: np.ndarray):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def sort_by_segments(
+    point_opt: np.ndarray,
+    pose_opt: np.ndarray,
+    num_point_keys: int,
+    num_pose_keys: int,
+) -> np.ndarray:
+    """Stable sort order by (point_opt, pose_opt). Native counting sort when
+    available; numpy lexsort fallback."""
+    lib = get_lib()
+    n = point_opt.shape[0]
+    if lib is not None and n > 0:
+        po = _i32(point_opt)
+        ps = _i32(pose_opt)
+        order = np.empty(n, dtype=np.int64)
+        rc = lib.ba_sort_by_segments(
+            po.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            num_point_keys,
+            num_pose_keys,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == 0:
+            return order
+    return np.lexsort((pose_opt, point_opt))
+
+
+def connectivity(
+    obs_pose: np.ndarray,
+    obs_point: np.ndarray,
+    num_poses: int,
+    num_points: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(points_per_pose, poses_per_point) unique-pair counts
+    (reference CheckPoseAndPointConnectivity data, full cpp:310-341)."""
+    lib = get_lib()
+    n = obs_pose.shape[0]
+    if lib is not None and n > 0:
+        op = _i32(obs_pose)
+        oi = _i32(obs_point)
+        ppp = np.zeros(num_poses, dtype=np.int32)
+        ppt = np.zeros(num_points, dtype=np.int32)
+        rc = lib.ba_connectivity(
+            op.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            oi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            num_poses,
+            num_points,
+            ppp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ppt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return ppp, ppt
+    pairs = np.unique(
+        np.stack([obs_pose, obs_point], axis=-1), axis=0
+    )
+    ppp = np.bincount(pairs[:, 0], minlength=num_poses).astype(np.int32)
+    ppt = np.bincount(pairs[:, 1], minlength=num_points).astype(np.int32)
+    return ppp, ppt
+
+
+def partition_landmarks(
+    obs_per_point: np.ndarray, total_obs: int, num_shards: int
+) -> np.ndarray:
+    """(num_shards + 1,) contiguous, observation-balanced point-id cuts."""
+    lib = get_lib()
+    m = obs_per_point.shape[0]
+    if lib is not None:
+        opp = np.ascontiguousarray(obs_per_point, dtype=np.int64)
+        out = np.empty(num_shards + 1, dtype=np.int64)
+        rc = lib.ba_partition_landmarks(
+            opp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            m,
+            total_obs,
+            num_shards,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == 0:
+            return out
+    boundaries = [0]
+    target = total_obs / num_shards
+    acc = 0
+    for pid in range(m):
+        acc += int(obs_per_point[pid])
+        if acc >= target * len(boundaries) and len(boundaries) < num_shards:
+            boundaries.append(pid + 1)
+    while len(boundaries) < num_shards:
+        boundaries.append(m)
+    boundaries.append(m)
+    return np.asarray(boundaries, dtype=np.int64)

@@ -1,0 +1,100 @@
+"""Tests for the native problem compiler (csrc/problem_compiler.cpp) and its
+numpy fallbacks: both paths must agree exactly."""
+
+import numpy as np
+import pytest
+
+from bundle_adjustment_solver_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    return native.get_lib()
+
+
+def test_native_library_builds(lib):
+    # The toolchain is part of the environment contract; the native path
+    # must actually be exercised in CI, not silently fall back.
+    assert lib is not None, "native problem compiler failed to build"
+
+
+def test_sort_by_segments_matches_lexsort(rng):
+    n = 100_000
+    point_opt = rng.integers(0, 500, n).astype(np.int32)
+    pose_opt = rng.integers(0, 60, n).astype(np.int32)
+    order_native = native.sort_by_segments(point_opt, pose_opt, 500, 60)
+    order_numpy = np.lexsort((pose_opt, point_opt))
+    np.testing.assert_array_equal(order_native, order_numpy)
+
+
+def test_sort_is_stable(rng):
+    n = 10_000
+    point_opt = rng.integers(0, 5, n).astype(np.int32)
+    pose_opt = rng.integers(0, 3, n).astype(np.int32)
+    order = native.sort_by_segments(point_opt, pose_opt, 5, 3)
+    keys = point_opt[order].astype(np.int64) * 3 + pose_opt[order]
+    assert (np.diff(keys) >= 0).all()
+    # stability: original indices increase within equal keys
+    same = np.diff(keys) == 0
+    assert (np.diff(order)[same] > 0).all()
+
+
+def test_connectivity_counts(rng):
+    obs_pose = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2], dtype=np.int32)
+    obs_point = np.array([0, 0, 1, 1, 2, 0, 1, 2, 3], dtype=np.int32)
+    ppp, ppt = native.connectivity(obs_pose, obs_point, 3, 4)
+    # pose 0 sees points {0,1}; pose 1 sees {1,2}; pose 2 sees {0,1,2,3}
+    np.testing.assert_array_equal(ppp, [2, 2, 4])
+    # point 0 seen by poses {0,2}; 1 by {0,1,2}; 2 by {1,2}; 3 by {2}
+    np.testing.assert_array_equal(ppt, [2, 3, 2, 1])
+
+
+def test_connectivity_matches_fallback(rng):
+    n = 50_000
+    obs_pose = rng.integers(0, 40, n).astype(np.int32)
+    obs_point = rng.integers(0, 2000, n).astype(np.int32)
+    ppp_n, ppt_n = native.connectivity(obs_pose, obs_point, 40, 2000)
+    pairs = np.unique(np.stack([obs_pose, obs_point], -1), axis=0)
+    ppp_f = np.bincount(pairs[:, 0], minlength=40).astype(np.int32)
+    ppt_f = np.bincount(pairs[:, 1], minlength=2000).astype(np.int32)
+    np.testing.assert_array_equal(ppp_n, ppp_f)
+    np.testing.assert_array_equal(ppt_n, ppt_f)
+
+
+def test_partition_landmarks_covers_and_balances(rng):
+    m = 10_000
+    counts = rng.integers(0, 20, m).astype(np.int64)
+    total = int(counts.sum())
+    cuts = native.partition_landmarks(counts, total, 8)
+    assert cuts[0] == 0 and cuts[-1] == m
+    assert (np.diff(cuts) >= 0).all()
+    per_shard = np.array(
+        [counts[cuts[s]:cuts[s + 1]].sum() for s in range(8)]
+    )
+    assert per_shard.sum() == total
+    assert per_shard.max() <= 2 * per_shard.mean() + 20
+
+
+def test_builder_connectivity_warnings():
+    from bundle_adjustment_solver_tpu.models.camera import Camera
+    from bundle_adjustment_solver_tpu.models.problem import (
+        FullBundleAdjustmentSolver,
+    )
+
+    solver = FullBundleAdjustmentSolver()
+    solver.add_camera(0, Camera(100.0, 100.0, 50.0, 50.0))
+    for j in range(2):
+        T = np.eye(4)
+        T[0, 3] = j * 0.1
+        solver.add_pose(j, T)
+    for i in range(3):
+        solver.add_point(i, np.array([0.1 * i, 0.0, 2.0]))
+    # pose 0 sees all 3 points; pose 1 sees only point 0.
+    for i in range(3):
+        solver.add_observation(0, 0, i, np.array([50.0, 50.0]))
+    solver.add_observation(0, 1, 0, np.array([50.0, 50.0]))
+    warnings = solver.check_connectivity()
+    assert any("0-th pose" in w for w in warnings)  # sees 3 < 5 points
+    assert any("1-th pose" in w for w in warnings)
+    assert any("1-th point" in w for w in warnings)  # seen by 1 < 2 poses
+    assert any("2-th point" in w for w in warnings)
