@@ -91,6 +91,10 @@ class Options:
     # (full cpp:427, a quirk -- the quadratic model is in squared units);
     # 'squared' uses the robust squared cost.
     cost_metric: str = "reference"
+    # Use the fused Pallas TPU kernels for the per-iteration statistics
+    # (ops/pallas/): ~2.6x over the XLA path on TPU by never materializing
+    # Jacobians in HBM. 'never' | 'always' | 'interpret' (CPU debugging).
+    pallas: str = "never"
 
     def replace(self, **kwargs) -> "Options":
         return dataclasses.replace(self, **kwargs)

@@ -254,25 +254,51 @@ def solve_monocular_6dof_jax(
     validf = valid.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf), 1.0)
 
+    use_pallas = options.pallas in ("always", "interpret")
+    if use_pallas:
+        from ..ops.pallas.pose_only_gn import (
+            pack_problem_planes,
+            pose_only_gn_stats,
+        )
+
+        planes = pack_problem_planes(points, pixels, valid)[:6]
+        intr_vec = jnp.stack([fx, fy, cx, cy])
+
     def cond(c: _Carry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
 
     def body(c: _Carry):
-        X_c = jnp.einsum("ij,pj->pi", c.R, points, precision=_HIGHEST) + c.t
-        r, w, manhattan = residual_and_weight(X_c, pixels, fx, fy, cx, cy, huber)
-        J = pose_only_jacobian_6dof(X_c, fx, fy)
-        wv = w * validf
-        JtWJ, g = _normal_equations(J, r, wv, 6)
+        if use_pallas:
+            # Fused single-pass kernel: warp / residual / JtWJ / gradient /
+            # robust cost without materializing J in HBM
+            # (ops/pallas/pose_only_gn.py). The outlier mask is recomputed
+            # once after the loop from the final pose.
+            rt = jnp.concatenate([c.R, c.t[:, None]], axis=1)
+            JtWJ, g, err_sum = pose_only_gn_stats(
+                rt,
+                intr_vec,
+                *planes,
+                huber=float(huber),
+                interpret=options.pallas == "interpret",
+            )
+            mask_left = c.mask_left
+        else:
+            X_c = jnp.einsum("ij,pj->pi", c.R, points, precision=_HIGHEST) + c.t
+            r, w, manhattan = residual_and_weight(
+                X_c, pixels, fx, fy, cx, cy, huber
+            )
+            J = pose_only_jacobian_6dof(X_c, fx, fy)
+            wv = w * validf
+            JtWJ, g = _normal_equations(J, r, wv, 6)
+            err_sum = jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
+            # Deviation from the reference (documented in the module
+            # docstring): the mask reports the final evaluated iteration, not
+            # a sticky accumulation from iteration 0.
+            mask_left = valid & (manhattan < thr_outlier)
         delta = _damped_solve(JtWJ, g, 6)
         R_new, t_new = add_front_se3(c.R, c.t, delta)
 
-        err_curr = 0.5 * inv_n * jnp.sum(
-            wv * (r[:, 0] ** 2 + r[:, 1] ** 2)
-        )
-        # Deviation from the reference (documented in the module docstring):
-        # the mask reports the final evaluated iteration, not a sticky
-        # accumulation from iteration 0.
-        mask_left = valid & (manhattan < thr_outlier)
+        err_curr = 0.5 * inv_n * err_sum
 
         step_norm = jnp.linalg.norm(delta)
         conv_now = jnp.logical_or(
@@ -287,6 +313,16 @@ def solve_monocular_6dof_jax(
 
     carry0 = _init_carry(R0, t0, valid, valid, max_iter, dtype)
     carry = jax.lax.while_loop(cond, body, carry0)
+    if use_pallas:
+        X_c = (
+            jnp.einsum("ij,pj->pi", carry.R, points, precision=_HIGHEST)
+            + carry.t
+        )
+        _, _, manhattan = residual_and_weight(
+            X_c, pixels, fx, fy, cx, cy, huber
+        )
+        mask_final = valid & (manhattan < thr_outlier)
+        carry = carry._replace(mask_left=mask_final, mask_right=mask_final)
     R_out, t_out = inverse_se3(carry.R, carry.t)
     return _finish(carry, _to_T(R_out, t_out))
 

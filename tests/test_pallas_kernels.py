@@ -1,0 +1,127 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled path runs on TPU).
+
+The warp kernel is the deliberate analogue of the reference's AVX PointWarper
+benchmarked by test/test_warp_simd.cpp; unlike the reference kernel it
+applies the pose once (the AVX version double-applies it,
+simd_library.cpp:82-97 -- SURVEY.md §2 quirk) and handles tails correctly.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundle_adjustment_solver_tpu.ops.pallas.pose_only_gn import (
+    pack_problem_planes,
+    pose_only_gn_stats,
+)
+from bundle_adjustment_solver_tpu.ops.pallas.warp import (
+    from_planes,
+    to_planes,
+    warp_points,
+)
+from bundle_adjustment_solver_tpu.ops.projection import (
+    pose_only_jacobian_6dof,
+    residual_and_weight,
+)
+
+
+def _random_pose(rng):
+    R = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    if np.linalg.det(R) < 0:
+        R[:, 0] *= -1
+    return R.astype(np.float32), rng.normal(0, 0.3, 3).astype(np.float32)
+
+
+class TestWarpKernel:
+    @pytest.mark.parametrize("P", [1, 100, 8192, 10_000])
+    def test_matches_dense_warp(self, rng, P):
+        pts = rng.normal(0, 2, (P, 3)).astype(np.float32)
+        R, t = _random_pose(rng)
+        out = warp_points(
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(pts), interpret=True
+        )
+        ref = pts @ R.T + t
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_plane_roundtrip(self, rng):
+        pts = rng.normal(size=(777, 3)).astype(np.float32)
+        x, y, z, P = to_planes(jnp.asarray(pts))
+        back = from_planes(x, y, z, P)
+        np.testing.assert_array_equal(np.asarray(back), pts)
+
+
+class TestPoseOnlyGNKernel:
+    def test_matches_jnp_path(self, rng):
+        P = 5000
+        pts = rng.normal(0, 2, (P, 3)).astype(np.float32)
+        pts[:, 2] += 5
+        R, t = _random_pose(rng)
+        pix = rng.uniform(0, 640, (P, 2)).astype(np.float32)
+        valid = rng.uniform(size=P) > 0.1  # include invalid rows
+
+        x, y, z, pu, pv, vf, _ = pack_problem_planes(
+            jnp.asarray(pts), jnp.asarray(pix), jnp.asarray(valid)
+        )
+        rt = jnp.asarray(np.concatenate([R, t[:, None]], axis=1))
+        intr = jnp.asarray([338.0, 338.0, 320.0, 240.0], jnp.float32)
+        JtWJ, g, cost = pose_only_gn_stats(
+            rt, intr, x, y, z, pu, pv, vf, huber=1.0, interpret=True
+        )
+
+        Xc = pts @ R.T + t
+        r, w, _ = residual_and_weight(
+            jnp.asarray(Xc), jnp.asarray(pix), intr[0], intr[1], intr[2],
+            intr[3], 1.0,
+        )
+        J = pose_only_jacobian_6dof(jnp.asarray(Xc), intr[0], intr[1])
+        wv = w * jnp.asarray(valid, jnp.float32)
+        Jw = J * wv[:, None, None]
+        JtWJ_ref = jnp.einsum("pri,prj->ij", Jw, J)
+        g_ref = jnp.einsum("pri,pr->i", Jw, r)
+        cost_ref = jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
+        # Entries that are near-zero by cancellation differ by reduction
+        # order in f32; bound them relative to the matrix scale.
+        scale = float(jnp.abs(JtWJ_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(JtWJ), np.asarray(JtWJ_ref), rtol=2e-5,
+            atol=1e-6 * scale,
+        )
+        g_scale = float(jnp.abs(g_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-5, atol=1e-6 * g_scale
+        )
+        np.testing.assert_allclose(float(cost), float(cost_ref), rtol=2e-5)
+
+
+class TestPallasSolverPath:
+    def test_mono_6dof_pallas_matches_xla_path(self):
+        from bundle_adjustment_solver_tpu.options import (
+            ConvergenceHandle,
+            IterationHandle,
+            Options,
+            OutlierHandle,
+        )
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            mono_pose_only_problem,
+        )
+
+        prob = mono_pose_only_problem(num_points=2000, seed=77)
+        base = Options(
+            convergence_handle=ConvergenceHandle(1e-6, 1e-6),
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(50),
+        )
+        pose_x, mask_x, _, ok_x = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial, base
+        )
+        pose_p, mask_p, _, ok_p = pose_only.solve_monocular_6dof(
+            prob.points,
+            prob.pixels,
+            prob.intrinsics,
+            prob.pose_initial,
+            base.replace(pallas="interpret"),
+        )
+        assert ok_x and ok_p
+        np.testing.assert_allclose(pose_p, pose_x, atol=1e-4)
+        assert mask_p.all() == mask_x.all()
