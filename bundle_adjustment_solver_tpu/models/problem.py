@@ -411,6 +411,43 @@ class FullBundleAdjustmentSolver:
             raise RuntimeError("solve() has not been run.")
         return self._solved_points
 
+    # -- refactor-API aliases (reference FullBundleAdjustmentSolverRefactor,
+    # full_bundle_adjustment_solver_refactor.h:117-136: Register* naming) ----
+
+    def register_camera(self, camera_index: int, camera: Camera) -> None:
+        """Alias of add_camera (refactor.cpp:69-80)."""
+        self.add_camera(camera_index, camera)
+
+    def register_world_to_body_pose(self, pose_id, pose) -> None:
+        """Alias of add_pose (refactor.cpp:82-101 RegisterWorldToBodyPose)."""
+        self.add_pose(pose_id, pose)
+
+    def register_world_point(self, point_id, point) -> None:
+        """Alias of add_point (refactor.cpp:103-124 RegisterWorldPoint)."""
+        self.add_point(point_id, point)
+
+    def fix_registered_pose(self, pose_id) -> None:
+        """Alias of make_pose_fixed (refactor FixRegisteredPose)."""
+        self.make_pose_fixed(pose_id)
+
+    def fix_registered_point(self, point_id) -> None:
+        """Alias of make_point_fixed (refactor FixRegisteredPosition)."""
+        self.make_point_fixed(point_id)
+
+    def add_point_observation(self, camera_index, pose_id, point_id, pixel):
+        """Alias of add_observation (programming_pattern/
+        full_bundle_adjustment_solver.h:9-25 AddPointObservation)."""
+        self.add_observation(camera_index, pose_id, point_id, pixel)
+
+    def solve_by_gradient_descent(self, options, summary=None):
+        """Explicit gradient-descent entry (refactor SolveByGradientDescent,
+        refactor.cpp:1075-1367: gradient blocks clipped to `gd_step_clip`)."""
+        from ..options import SolverType
+
+        return self.solve(
+            options.replace(solver_type=SolverType.GRADIENT_DESCENT), summary
+        )
+
     def check_connectivity(
         self, min_points_per_pose: int = 5, min_poses_per_point: int = 2
     ) -> list[str]:

@@ -115,7 +115,7 @@ def assemble_block_system(
     a = jax.ops.segment_sum(grad_pose, pose_opt, num_segments=n_opt_poses + 1)[
         :n_opt_poses
     ]
-    b = jax.ops.segment_sum(grad_point, point_opt, num_segments=n_opt_points + 1)[
+    b = jax.ops.segment_sum(grad_point, point_opt, num_segments=n_opt_points + 1, indices_are_sorted=True)[
         :n_opt_points
     ]
 
@@ -125,7 +125,7 @@ def assemble_block_system(
     A = jax.ops.segment_sum(AtA, pose_opt, num_segments=n_opt_poses + 1)[
         :n_opt_poses
     ]
-    C = jax.ops.segment_sum(RtR, point_opt, num_segments=n_opt_points + 1)[
+    C = jax.ops.segment_sum(RtR, point_opt, num_segments=n_opt_points + 1, indices_are_sorted=True)[
         :n_opt_points
     ]
 
@@ -230,7 +230,7 @@ def schur_matvec(
     """
     xg = _gather_padded(x, pose_opt, n_opt_poses)  # (O, 6)
     u = jnp.einsum("oab,oa->ob", sys.U, xg, precision=_HIGHEST)  # (O, 3)
-    t = jax.ops.segment_sum(u, point_opt, num_segments=n_opt_points + 1)[
+    t = jax.ops.segment_sum(u, point_opt, num_segments=n_opt_points + 1, indices_are_sorted=True)[
         :n_opt_points
     ]
     v = jnp.einsum("iab,ib->ia", sys.Cinv, t, precision=_HIGHEST)
@@ -271,7 +271,7 @@ def back_substitute_matfree(
     """y = C^-1 (b - B^T x) via one observation pass (reference cpp:911-917)."""
     xg = _gather_padded(x, pose_opt, n_opt_poses)
     u = jnp.einsum("oab,oa->ob", sys.U, xg, precision=_HIGHEST)
-    Bt_x = jax.ops.segment_sum(u, point_opt, num_segments=n_opt_points + 1)[
+    Bt_x = jax.ops.segment_sum(u, point_opt, num_segments=n_opt_points + 1, indices_are_sorted=True)[
         :n_opt_points
     ]
     return jnp.einsum(

@@ -369,7 +369,7 @@ def _device_program(
             grad_point, obs_point_opt, num_segments=m_opt_l + 1
         )[:m_opt_l]
         RtR = jnp.einsum("ora,orb->oab", wRj, Rj, precision=_HIGHEST)
-        C = jax.ops.segment_sum(RtR, obs_point_opt, num_segments=m_opt_l + 1)[
+        C = jax.ops.segment_sum(RtR, obs_point_opt, num_segments=m_opt_l + 1, indices_are_sorted=True)[
             :m_opt_l
         ]
         U = jnp.einsum("ora,orb->oab", wQ, Rj, precision=_HIGHEST)
@@ -383,7 +383,8 @@ def _device_program(
             xg = H._gather_padded(x, obs_pose_opt, n_opt)
             u = jnp.einsum("oab,oa->ob", U, xg, precision=_HIGHEST)
             t_seg = jax.ops.segment_sum(
-                u, obs_point_opt, num_segments=m_opt_l + 1
+                u, obs_point_opt, num_segments=m_opt_l + 1,
+                indices_are_sorted=True,
             )[:m_opt_l]
             v = jnp.einsum("iab,ib->ia", Cinv, t_seg, precision=_HIGHEST)
             vg = H._gather_padded(v, obs_point_opt, m_opt_l)
@@ -414,7 +415,8 @@ def _device_program(
         xg = H._gather_padded(x, obs_pose_opt, n_opt)
         u = jnp.einsum("oab,oa->ob", U, xg, precision=_HIGHEST)
         Bt_x = jax.ops.segment_sum(
-            u, obs_point_opt, num_segments=m_opt_l + 1
+            u, obs_point_opt, num_segments=m_opt_l + 1,
+            indices_are_sorted=True,
         )[:m_opt_l]
         y = jnp.einsum("iab,ib->ia", Cinv, b - Bt_x, precision=_HIGHEST)
 
