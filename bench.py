@@ -6,7 +6,8 @@ Prints ONE JSON line:
 
 Workload (BASELINE.json primary config, scaled to one chip): corridor stereo
 BA -- 2,000 poses / 200,000 landmarks / 2.4M observations -- solved with the
-matrix-free Schur-CG LM solver, measuring LM iterations/s and
+point-major Pallas Schur-CG LM engine (BENCH_IMPL=cg selects the portable
+observation-table path instead), measuring LM iterations/s and
 observations x LM-iterations per second per chip.
 
 Baseline: the reference (ChanghyeonKim93/bundle_adjustment_solver) publishes
@@ -42,6 +43,7 @@ NUM_POSES = int(os.environ.get("BENCH_POSES", 2000))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 200_000))
 WINDOW = int(os.environ.get("BENCH_WINDOW", 6))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 20))
+IMPL = os.environ.get("BENCH_IMPL", "pm")  # 'pm' (pallas) | 'cg' (obs table)
 
 
 def build():
@@ -84,25 +86,46 @@ def main():
     # resident; the tunnel makes per-call H2D expensive).
     problem = jax.device_put(problem, dev)
 
-    # Warm-up / compile (2 iterations).
-    state = full_ba._solve_jax(problem, shape, options(2), "cg")
-    jax.block_until_ready(state)
+    if IMPL == "pm":
+        from bundle_adjustment_solver_tpu.solvers import full_ba_pm
 
-    # Timed run.
-    t0 = time.perf_counter()
-    state = full_ba._solve_jax(problem, shape, options(TIMED_ITERS), "cg")
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
+        pm, pshape = full_ba_pm.pm_from_finalized(problem, shape)
+        pm = jax.device_put(pm, dev)
+
+        def run(n):
+            out = full_ba_pm._solve_pm_jax(
+                pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+                problem.opt_pose_idx, options(n), interpret=False,
+            )
+            # Force full execution (block_until_ready is unreliable over the
+            # device tunnel; a scalar fetch is not).
+            return out, float(out[7])
+
+        run(TIMED_ITERS)  # compile + warm-up
+        t0 = time.perf_counter()
+        out, _ = run(TIMED_ITERS)
+        elapsed = time.perf_counter() - t0
+        rmse = float(out[8])
+    else:
+
+        def run(n):
+            state = full_ba._solve_jax(problem, shape, options(n), "cg")
+            return state, float(state.final_cost)
+
+        run(TIMED_ITERS)
+        t0 = time.perf_counter()
+        state, _ = run(TIMED_ITERS)
+        elapsed = time.perf_counter() - t0
+        rmse = float(state.final_rmse_px)
 
     iters_per_s = TIMED_ITERS / elapsed
     obs_iters_per_s = n_obs * iters_per_s
-    rmse = float(state.final_rmse_px)
 
     result = {
         "metric": (
             "full_BA_observations_x_LM-iterations_per_second_per_chip "
             f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {n_obs} obs, "
-            f"schur-CG LM, final_rmse_px={rmse:.4f}, "
+            f"{IMPL} schur-CG LM, final_rmse_px={rmse:.4f}, "
             f"lm_iters_per_s={iters_per_s:.3f})"
         ),
         "value": round(obs_iters_per_s, 1),

@@ -1,0 +1,265 @@
+"""Point-major padded observation layout: the TPU-fast data layout for full BA.
+
+Motivation (measured on TPU v5e, see solvers/full_ba_pm.py): XLA lowers
+per-observation `segment_sum`s and row gathers to scatter/gather ops that run
+at ~6 ns and ~1.6 ns per row respectively -- at 2.4M observations that is
+14-19 ms per scatter and ~4 ms per gather, and one LM iteration of the
+observation-table ("cg") solver needs a dozen of them, plus tiny-trailing-dim
+(O, 3, 3) elementwise ops that waste 128-wide VPU lanes. The reference's own
+answer to layout was an AoS->SoA repack in its AVX warper
+(utility/simd_library.cpp:63-70); this module is the same idea taken to its
+conclusion for TPU:
+
+  * observations are grouped by landmark ("point-major") and padded to a
+    static number of pose-slots `Kp` per landmark, each slot carrying the
+    problem's `C` rig cameras -- so every point-side reduction (the C/b/U
+    blocks of the Schur system) becomes a free axis-sum over a static axis
+    instead of a segment_sum scatter;
+  * all per-observation planes are stored with the LANDMARK axis LAST
+    (lanes) and small static leading axes (sublanes), so elementwise math
+    runs dense on the 8x128 VPU;
+  * landmarks are sorted by their minimum observing pose, so each block of
+    `bm` landmarks touches only a narrow static window `P` of poses --
+    Pallas kernels then keep the whole pose table in VMEM and do the
+    pose-side gather/scatter as (P, bm*Kp) one-hot matmuls on the MXU
+    (ops/pallas/full_ba_pm.py), which replaces the dominant scatter cost
+    with a few GFLOP of systolic-array work.
+
+Fixed (gauge) parameters dissolve into the layout: a fixed pose keeps its
+real index in `slot_pose` (it must still be warped through) but carries
+`slot_opt = -1`, which the windowed one-hot can never match, so its Hessian
+contribution is dropped exactly like the reference's sentinel remap
+(core/full_bundle_adjustment_solver.cpp:182-206). A fixed landmark gets
+`point_mask = 0`, which zeroes C -> the closed-form inverse guard returns
+Cinv = 0 -> its Schur correction, back-substituted step, and rhs contribution
+all vanish while its residuals still weight the pose system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["PointMajorProblem", "PMShape", "build_point_major"]
+
+
+class PointMajorProblem(NamedTuple):
+    """Static-shape point-major arrays (a JAX pytree).
+
+    Plane layout conventions (lanes = landmark axis, length Mp):
+      obs_f32 (3*Kp*C, Mp): rows [0, KpC) = pixel u, [KpC, 2KpC) = pixel v,
+        [2KpC, 3KpC) = validity (1.0/0.0); within a plane, row c*Kp + k is
+        pose-slot k of camera c (cam-major, so each camera's Kp slots form a
+        contiguous sub-plane). Pixels are scale-conditioned.
+      slot_pose (Kp, Mp) int32: real pose index warped through (0 on padding).
+      slot_opt (Kp, Mp) int32: optimization index of that pose, or -1 when the
+        pose is fixed / the slot is padding.
+      X (4, Mp): rows x, y, z (scale-conditioned), point_mask (1.0 for an
+        optimizable landmark, 0.0 for fixed/padding).
+      point_ref (Mp,) int32: original landmark row for write-back (-1 pad).
+      gbase/sbase (nblocks,) int32: per-block pose-window bases for the
+        gather (real-index) and scatter (opt-index) one-hots; both aligned
+        down to multiples of 8 for sublane friendliness.
+    """
+
+    obs_f32: jax.Array
+    slot_pose: jax.Array
+    slot_opt: jax.Array
+    X: jax.Array
+    point_ref: jax.Array
+    gbase: jax.Array
+    sbase: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PMShape:
+    """Hashable static dimensions of a point-major problem."""
+
+    num_poses: int  # N
+    num_opt_poses: int  # N_opt
+    num_points: int  # M (real landmarks)
+    padded_points: int  # Mp (multiple of block_points)
+    num_observations: int  # real observation count
+    slots: int  # Kp: padded pose-slots per landmark
+    cams: int  # C: rig cameras
+    block_points: int  # bm: landmarks per kernel block
+    window: int  # P: pose window per block (one-hot width)
+    scale: float
+
+    @property
+    def num_blocks(self) -> int:
+        return self.padded_points // self.block_points
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def build_point_major(
+    obs_pose: np.ndarray,  # (O,) int32 pose index per observation
+    obs_point: np.ndarray,  # (O,) int32 landmark index
+    obs_cam: np.ndarray,  # (O,) int32 rig camera index
+    obs_pixel: np.ndarray,  # (O, 2) scale-conditioned pixels
+    points: np.ndarray,  # (M, 3) scale-conditioned landmark positions
+    pose_opt_of: np.ndarray,  # (N,) int32: opt index or n_opt for fixed
+    point_is_opt: np.ndarray,  # (M,) bool
+    num_cameras: int,
+    scale: float,
+    block_points: int = 256,
+    max_slots: int = 32,
+    max_window: int = 2048,
+    dtype=np.float32,
+) -> tuple[PointMajorProblem, PMShape] | None:
+    """Build the point-major layout, or return None when the problem does not
+    fit its static bounds (a landmark observed from > max_slots poses, or a
+    landmark block whose pose span exceeds max_window) -- callers then fall
+    back to the observation-table path.
+    """
+    O = int(obs_pose.shape[0])
+    M = int(points.shape[0])
+    N = int(pose_opt_of.shape[0])
+    # problem.py's sentinel convention: fixed poses carry the value n_opt, so
+    # n_opt is the count of distinct non-sentinel values (== N when nothing is
+    # fixed, == the sentinel value otherwise).
+    uniq = np.unique(pose_opt_of)
+    n_opt = N if uniq.size == N else int(uniq[-1])
+
+    C = int(num_cameras)
+
+    # Group observations by (landmark, pose): each (i, j) pair becomes one
+    # slot with C camera entries (invalid cameras padded).
+    order = np.lexsort((obs_cam, obs_pose, obs_point))
+    op = obs_point[order]
+    oj = obs_pose[order]
+    oc = obs_cam[order]
+    opix = obs_pixel[order]
+
+    # Unique (point, pose) pairs, their slot index within the point.
+    pair_key = op.astype(np.int64) * N + oj
+    pair_change = np.empty(O, dtype=bool)
+    pair_change[0] = True
+    np.not_equal(pair_key[1:], pair_key[:-1], out=pair_change[1:])
+    pair_id = np.cumsum(pair_change) - 1  # (O,) dense pair index
+    num_pairs = int(pair_id[-1]) + 1 if O else 0
+    pair_point = op[pair_change]
+    pair_pose = oj[pair_change]
+
+    point_change = np.empty(num_pairs, dtype=bool)
+    point_change[0] = True
+    np.not_equal(pair_point[1:], pair_point[:-1], out=point_change[1:])
+    point_first_pair = np.nonzero(point_change)[0]
+    slot_of_pair = np.arange(num_pairs) - np.repeat(
+        point_first_pair, np.diff(np.append(point_first_pair, num_pairs))
+    )
+    kp = int(slot_of_pair.max()) + 1 if num_pairs else 1
+    if kp > max_slots:
+        return None
+    Kp = max(1, _round_up(kp, 4))
+
+    # Sort landmarks by minimum observing pose for window locality; landmarks
+    # with no observations keep their position at the end.
+    min_pose = np.full(M, N, dtype=np.int64)
+    np.minimum.at(min_pose, pair_point, pair_pose)
+    pt_order = np.argsort(min_pose, kind="stable").astype(np.int32)
+    rank_of_point = np.empty(M, dtype=np.int32)
+    rank_of_point[pt_order] = np.arange(M, dtype=np.int32)
+
+    bm = int(block_points)
+    Mp = _round_up(max(M, bm), bm)
+    nblocks = Mp // bm
+
+    # Scatter observations into the padded planes.
+    row_pt = rank_of_point[op]  # (O,) padded landmark row
+    slot = slot_of_pair[pair_id]  # (O,) pose-slot within the landmark
+    cam = oc  # camera within the slot
+
+    u_plane = np.zeros((Kp * C, Mp), dtype=dtype)
+    v_plane = np.zeros((Kp * C, Mp), dtype=dtype)
+    valid_plane = np.zeros((Kp * C, Mp), dtype=dtype)
+    slot_pose = np.zeros((Kp, Mp), dtype=np.int32)
+    slot_opt = np.full((Kp, Mp), -1, dtype=np.int32)
+
+    plane_row = cam * Kp + slot  # cam-major: camera c's slots are contiguous
+    u_plane[plane_row, row_pt] = opix[:, 0].astype(dtype)
+    v_plane[plane_row, row_pt] = opix[:, 1].astype(dtype)
+    valid_plane[plane_row, row_pt] = 1.0
+
+    pair_row_pt = rank_of_point[pair_point]
+    slot_pose[slot_of_pair, pair_row_pt] = pair_pose.astype(np.int32)
+    so = pose_opt_of[pair_pose].astype(np.int32)
+    so[so == n_opt] = -1  # fixed-pose sentinel -> unmatched by the one-hot
+    slot_opt[slot_of_pair, pair_row_pt] = so
+
+    obs_f32 = np.concatenate([u_plane, v_plane, valid_plane], axis=0)
+
+    X = np.zeros((4, Mp), dtype=dtype)
+    X[0, rank_of_point] = points[:, 0].astype(dtype)
+    X[1, rank_of_point] = points[:, 1].astype(dtype)
+    X[2, rank_of_point] = points[:, 2].astype(dtype)
+    X[3, rank_of_point] = point_is_opt.astype(dtype)
+
+    point_ref = np.full(Mp, -1, dtype=np.int32)
+    point_ref[rank_of_point] = np.arange(M, dtype=np.int32)
+
+    # Per-block pose windows. Padding slots carry pose 0 / opt -1, so only
+    # real slots (valid somewhere) constrain the gather window; slot_pose==0
+    # on padding is harmless because the window always contains its base.
+    sp_blocks = slot_pose.reshape(Kp, nblocks, bm)
+    has_obs = valid_plane.reshape(C, Kp, Mp).max(axis=0).reshape(Kp, nblocks, bm) > 0
+    big = np.where(has_obs, sp_blocks, np.iinfo(np.int32).max)
+    small = np.where(has_obs, sp_blocks, -1)
+    gmin = big.min(axis=(0, 2))
+    gmax = small.max(axis=(0, 2))
+    empty = gmax < 0
+    gmin[empty] = 0
+    gmax[empty] = 0
+    gbase = (gmin // 8) * 8
+    gspan = int((gmax - gbase).max()) + 1 if nblocks else 1
+
+    so_blocks = slot_opt.reshape(Kp, nblocks, bm)
+    sbig = np.where(so_blocks >= 0, so_blocks, np.iinfo(np.int32).max)
+    ssmall = so_blocks
+    smin = sbig.min(axis=(0, 2))
+    smax = ssmall.max(axis=(0, 2))
+    sempty = smax < 0
+    smin[sempty] = 0
+    smax[sempty] = 0
+    sbase = (np.minimum(smin, np.iinfo(np.int32).max - 8) // 8) * 8
+    sbase[sempty] = 0
+    sspan = int((smax - sbase).max()) + 1 if nblocks else 1
+
+    span = max(gspan, sspan, 8)
+    P = 8
+    while P < span:
+        P *= 2
+    if P > max_window:
+        return None
+    # Clamp bases so the in-kernel pl.ds(base, P) slice stays in bounds of the
+    # (N, .) / (n_opt + 8, .) tables (tables are padded to >= base + P).
+
+    pm = PointMajorProblem(
+        obs_f32=jnp.asarray(obs_f32),
+        slot_pose=jnp.asarray(slot_pose),
+        slot_opt=jnp.asarray(slot_opt),
+        X=jnp.asarray(X),
+        point_ref=jnp.asarray(point_ref),
+        gbase=jnp.asarray(gbase.astype(np.int32)),
+        sbase=jnp.asarray(sbase.astype(np.int32)),
+    )
+    shape = PMShape(
+        num_poses=N,
+        num_opt_poses=n_opt,
+        num_points=M,
+        padded_points=Mp,
+        num_observations=O,
+        slots=Kp,
+        cams=C,
+        block_points=bm,
+        window=P,
+        scale=scale,
+    )
+    return pm, shape

@@ -1,0 +1,609 @@
+"""Pallas TPU kernels for the point-major full-BA engine.
+
+Three kernels over the point-major layout (models/layout.py):
+
+  * `assemble_pm`   -- one fused pass per LM iteration: windowed one-hot MXU
+    gather of pose rows -> warp -> project -> residual -> Manhattan-Huber
+    weight -> analytic Jacobians -> damped point blocks C/b/Cinv (free
+    axis reductions) + per-slot coupling blocks U + pose-system partials
+    (A, a) scattered through a windowed one-hot MXU matmul into per-block
+    (P, 32) panels (finished by a tiny second-level segment-sum in XLA).
+  * `schur_matvec_pm` -- the S @ x product for block-PCG: windowed one-hot
+    gather of x, per-lane U^T x -> t, v = Cinv t, U v, windowed one-hot
+    scatter back to (P, 8) panels; also emits t for back-substitution.
+  * `cost_pm`       -- residual-only pass reducing the reference cost metric
+    (sum of residual L2 norms, full cpp:427), the robust squared cost, the
+    raw squared error, and the valid count to per-block partials.
+
+Why this shape: XLA's per-observation scatter/gather costs ~6 ns / ~1.6 ns a
+row on v5e, making the observation-table path scatter-bound (~860 ms per LM
+iteration at 2.4M observations). Here the pose table lives in VMEM, the
+point axis is the 128-wide lane axis, and every pose-side gather/scatter is
+an (P, bm)x(bm, k) matmul on the MXU -- the TPU-native analogue of the
+reference's AVX SoA warper (utility/simd_library.cpp:36-137), fused through
+the entire Jacobian/Hessian pipeline instead of stopping at the warp.
+
+All dots use HIGHEST precision (exact f32 on the MXU's f32 passes): one-hot
+operands are exactly representable and the gathered/scattered values must not
+round through bf16.
+
+Symmetric 3x3 component order: [xx, xy, xz, yy, yz, zz] (diag at 0, 3, 5).
+U (pose 6 x point 3) component order: row-major e = a * 3 + c.
+Cb plane rows: [0:6) damped C, [6:9) b, [9:15) Cinv, 15 slot-use count.
+A-panel columns: [0:21) upper-tri A, [21:27) a, rest zero-padding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.layout import PMShape, PointMajorProblem
+
+_HI = jax.lax.Precision.HIGHEST
+
+A_COLS = 32  # 21 upper-tri A + 6 a, padded
+COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
+
+# Upper-triangle (a <= b) index pairs for the 6x6 pose block, row-major.
+_TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
+
+
+def _onehot(idx, P):
+    """(P, ...) f32 one-hot of integer offsets `idx` (...); out-of-range
+    offsets (including the -1 fixed/padding sentinel) produce all-zeros."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P,) + idx.shape, 0)
+    return (iota == idx[None]).astype(jnp.float32)
+
+
+def _gather_rows(tbl_win, oh, width):
+    """(width, ...) = tbl_win^T @ oh, contracting the window axis.
+
+    tbl_win: (P, width) f32; oh: (P, bm) one-hot; returns (width, bm).
+    """
+    return jax.lax.dot_general(
+        tbl_win,
+        oh,
+        (((0,), (0,)), ((), ())),
+        precision=_HI,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _scatter_panel(oh, contrib):
+    """(P, k) += one-hot scatter: oh (P, bm) x contrib (k, bm) -> (P, k),
+    contracting the lane (bm) axis."""
+    return jax.lax.dot_general(
+        oh,
+        contrib,
+        (((1,), (1,)), ((), ())),
+        precision=_HI,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _warp_and_project(shape: PMShape, g, X_blk, obs_blk, cam_ref, huber):
+    """Shared residual-pass math on (Kp, bm) component arrays.
+
+    g: (16, Kp, bm) gathered pose rows [r00..r22, tx, ty, tz, pad].
+    Returns per-(cam, slot) lists of residual/weight/Jacobian components and
+    the slot-level reference-frame point coordinates.
+    """
+    Kp, C = shape.slots, shape.cams
+    r = [g[i] for i in range(9)]  # row-major R_jw components, (Kp, bm)
+    t = [g[9 + i] for i in range(3)]
+    x = X_blk[0:1, :]  # (1, bm) broadcasts over Kp
+    y = X_blk[1:2, :]
+    z = X_blk[2:3, :]
+
+    # World -> rig reference frame (full cpp:744-745).
+    xr = r[0] * x + r[1] * y + r[2] * z + t[0]
+    yr = r[3] * x + r[4] * y + r[5] * z + t[1]
+    zr = r[6] * x + r[7] * y + r[8] * z + t[2]
+
+    KC = Kp * C
+    per_cam = []
+    for c in range(C):
+        fx = cam_ref[c, 0]
+        fy = cam_ref[c, 1]
+        cx = cam_ref[c, 2]
+        cy = cam_ref[c, 3]
+        rc = [cam_ref[c, 4 + i] for i in range(9)]
+        tc = [cam_ref[c, 13 + i] for i in range(3)]
+
+        # Rig reference -> camera frame (full cpp:746-747).
+        xc = rc[0] * xr + rc[1] * yr + rc[2] * zr + tc[0]
+        yc = rc[3] * xr + rc[4] * yr + rc[5] * zr + tc[1]
+        zc = rc[6] * xr + rc[7] * yr + rc[8] * zr + tc[2]
+
+        pix_u = obs_blk[c * Kp : (c + 1) * Kp, :]
+        pix_v = obs_blk[KC + c * Kp : KC + (c + 1) * Kp, :]
+        valid = obs_blk[2 * KC + c * Kp : 2 * KC + (c + 1) * Kp, :]
+
+        # Guard padded slots (gathered zeros give zc == 0).
+        zsafe = jnp.where(jnp.abs(zc) > 1e-12, zc, 1.0)
+        inv_z = 1.0 / zsafe
+        ru = fx * xc * inv_z + cx - pix_u
+        rv = fy * yc * inv_z + cy - pix_v
+        man = jnp.abs(ru) + jnp.abs(rv)
+        w = jnp.where(man > huber, huber / jnp.maximum(man, 1e-30), 1.0) * valid
+        per_cam.append(
+            dict(
+                xc=xc, yc=yc, inv_z=inv_z, ru=ru, rv=rv, w=w, valid=valid,
+                fx=fx, fy=fy, rc=rc,
+            )
+        )
+    return per_cam, (xr, yr, zr)
+
+
+def _jacobians(cam, lever):
+    """Analytic Q (pose, 6) and Rj (point, 3) rows for one camera.
+
+    Returns (Qu, Qv, Rju, Rjv): lists of 6/6/3/3 (Kp, bm) arrays.
+    Mirrors full cpp:770-828 (projection Jacobian zero pattern, the
+    [J_p | -J_p [X_ref]_x] pose block, Rj = J_p R_jw).
+    """
+    xr, yr, zr, Rjw = lever
+    fx, fy, rc = cam["fx"], cam["fy"], cam["rc"]
+    inv_z, xc, yc = cam["inv_z"], cam["xc"], cam["yc"]
+
+    fx_iz = fx * inv_z
+    fy_iz = fy * inv_z
+    du_dz = -fx_iz * xc * inv_z
+    dv_dz = -fy_iz * yc * inv_z
+    # J_p rows through the rig extrinsic rotation (2x3), (Kp, bm) each.
+    ju = [fx_iz * rc[0 + i] + du_dz * rc[6 + i] for i in range(3)]
+    jv = [fy_iz * rc[3 + i] + dv_dz * rc[6 + i] for i in range(3)]
+
+    # Rotation columns: J_p @ (-[X_ref]_x).
+    qu_rot = [
+        ju[2] * yr - ju[1] * zr,
+        ju[0] * zr - ju[2] * xr,
+        ju[1] * xr - ju[0] * yr,
+    ]
+    qv_rot = [
+        jv[2] * yr - jv[1] * zr,
+        jv[0] * zr - jv[2] * xr,
+        jv[1] * xr - jv[0] * yr,
+    ]
+    Qu = ju + qu_rot
+    Qv = jv + qv_rot
+    # Rj = J_p @ R_jw: Rj[c] = sum_k J_p[k] R_jw[k, c].
+    Rju = [
+        ju[0] * Rjw[0 + c] + ju[1] * Rjw[3 + c] + ju[2] * Rjw[6 + c]
+        for c in range(3)
+    ]
+    Rjv = [
+        jv[0] * Rjw[0 + c] + jv[1] * Rjw[3 + c] + jv[2] * Rjw[6 + c]
+        for c in range(3)
+    ]
+    return Qu, Qv, Rju, Rjv
+
+
+def _inverse_sym3(c, det_floor=1e-30):
+    """Closed-form inverse of a symmetric 3x3 given as 6 (..., bm) comps
+    [xx, xy, xz, yy, yz, zz]; returns 6 comps, zeros when singular."""
+    a, b_, c_, d, e, f = c[0], c[1], c[2], c[3], c[4], c[5]
+    co00 = d * f - e * e
+    co01 = c_ * e - b_ * f
+    co02 = b_ * e - c_ * d
+    det = a * co00 + b_ * co01 + c_ * co02
+    inv_det = jnp.where(det > det_floor, 1.0 / jnp.where(det > det_floor, det, 1.0), 0.0)
+    i00 = co00 * inv_det
+    i01 = co01 * inv_det
+    i02 = co02 * inv_det
+    i11 = (a * f - c_ * c_) * inv_det
+    i12 = (b_ * c_ - a * e) * inv_det
+    i22 = (a * d - b_ * b_) * inv_det
+    return [i00, i01, i02, i11, i12, i22]
+
+
+def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
+                     cam_ref, scal_ref, obs_ref, spose_ref, sopt_ref, X_ref,
+                     U_ref, Cb_ref, Apan_ref):
+    Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
+    i = pl.program_id(0)
+    gbase = gbase_ref[i]
+    sbase = sbase_ref[i]
+    lam = scal_ref[0, 0]
+    huber = scal_ref[0, 1]
+
+    # Windowed one-hot gather of pose rows: (16, Kp, bm).
+    tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]  # (P, 16)
+    idx_g = spose_ref[:] - gbase  # (Kp, bm)
+    gath = []
+    for k in range(Kp):
+        oh = _onehot(idx_g[k], P)  # (P, bm)
+        gath.append(_gather_rows(tbl_win, oh, 16))
+    g = jnp.stack(gath, axis=1)  # (16, Kp, bm)
+
+    X_blk = X_ref[:]  # (4, bm)
+    pmask = X_blk[3:4, :]  # (1, bm) 1.0 for optimizable landmarks
+    per_cam, (xr, yr, zr) = _warp_and_project(
+        shape, g, X_blk, obs_ref[:], cam_ref, huber
+    )
+    Rjw = [g[i_] for i_ in range(9)]
+
+    # Accumulators.
+    Csym = [jnp.zeros((1, bm), jnp.float32) for _ in range(6)]
+    bvec = [jnp.zeros((1, bm), jnp.float32) for _ in range(3)]
+    Ue = [jnp.zeros((Kp, bm), jnp.float32) for _ in range(18)]
+    Atri = [jnp.zeros((Kp, bm), jnp.float32) for _ in range(21)]
+    avec = [jnp.zeros((Kp, bm), jnp.float32) for _ in range(6)]
+    slot_use = jnp.zeros((Kp, bm), jnp.float32)
+
+    for c in range(C):
+        cam = per_cam[c]
+        w, ru, rv = cam["w"], cam["ru"], cam["rv"]
+        Qu, Qv, Rju, Rjv = _jacobians(cam, (xr, yr, zr, Rjw))
+        slot_use = jnp.maximum(slot_use, cam["valid"])
+
+        # Point block C += w (Rju Rju^T + Rjv Rjv^T), gradient b -= w Rj^T r
+        # (full cpp:812-823), reduced over slots.
+        for n_, (a_, b2) in enumerate([(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]):
+            contrib = w * (Rju[a_] * Rju[b2] + Rjv[a_] * Rjv[b2])
+            Csym[n_] = Csym[n_] + jnp.sum(contrib, axis=0, keepdims=True)
+        for a_ in range(3):
+            contrib = -w * (Rju[a_] * ru + Rjv[a_] * rv)
+            bvec[a_] = bvec[a_] + jnp.sum(contrib, axis=0, keepdims=True)
+
+        # Coupling U += w Q^T Rj (accumulated over cameras; the reference
+        # overwrites -- deliberate fix, see ops/hessian.py docstring).
+        for a_ in range(6):
+            for b2 in range(3):
+                Ue[a_ * 3 + b2] = Ue[a_ * 3 + b2] + w * (
+                    Qu[a_] * Rju[b2] + Qv[a_] * Rjv[b2]
+                )
+
+        # Pose block A += w Q^T Q (upper-tri), a -= w Q^T r (cpp:795-809).
+        for n_, (a_, b2) in enumerate(_TRI6):
+            Atri[n_] = Atri[n_] + w * (Qu[a_] * Qu[b2] + Qv[a_] * Qv[b2])
+        for a_ in range(6):
+            avec[a_] = avec[a_] - w * (Qu[a_] * ru + Qv[a_] * rv)
+
+    # Damped point blocks + closed-form inverse; fixed landmarks (pmask == 0)
+    # zero out C -> Cinv = 0 -> they drop out of the Schur system.
+    damp = 1.0 + lam
+    Cd = [Csym[n_] * pmask for n_ in range(6)]
+    Cd[0] = Cd[0] * damp
+    Cd[3] = Cd[3] * damp
+    Cd[5] = Cd[5] * damp
+    Cinv = _inverse_sym3(Cd)
+    for n_ in range(6):
+        Cb_ref[n_ : n_ + 1, :] = Cd[n_]
+        Cb_ref[9 + n_ : 10 + n_, :] = Cinv[n_]
+    for a_ in range(3):
+        Cb_ref[6 + a_ : 7 + a_, :] = bvec[a_] * pmask
+    Cb_ref[15:16, :] = jnp.sum(slot_use, axis=0, keepdims=True)
+
+    # U planes, masked so fixed landmarks never couple.
+    for e in range(18):
+        U_ref[e] = Ue[e] * pmask
+
+    # Pose-system panel: windowed one-hot scatter on the MXU.
+    idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
+    acc = jnp.zeros((P, A_COLS), jnp.float32)
+    for k in range(Kp):
+        oh = _onehot(idx_s[k], P)  # (P, bm)
+        contrib = jnp.concatenate(
+            [Atri[n_][k : k + 1, :] for n_ in range(21)]
+            + [avec[a_][k : k + 1, :] for a_ in range(6)]
+            + [jnp.zeros((A_COLS - 27, bm), jnp.float32)],
+            axis=0,
+        )  # (A_COLS, bm)
+        acc = acc + _scatter_panel(oh, contrib)
+    Apan_ref[0] = acc
+
+
+def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
+                   Cb_ref, sopt_ref, out_pan_ref, t_ref):
+    Kp, bm, P = shape.slots, shape.block_points, shape.window
+    i = pl.program_id(0)
+    sbase = sbase_ref[i]
+    x_win = x_tbl_ref[pl.ds(sbase, P), :]  # (P, 8)
+    idx_s = sopt_ref[:] - sbase  # (Kp, bm)
+
+    ohs = [_onehot(idx_s[k], P) for k in range(Kp)]
+
+    if mode == "rhs":
+        # t := b (the per-landmark gradient) so the scatter below produces
+        # the B Cinv b correction of the reduced rhs (cpp:887-888).
+        t = [Cb_ref[6 + cpt : 7 + cpt, :] for cpt in range(3)]
+    else:
+        # Gather x at each slot's pose (fixed slots gather zeros) and take
+        # t = sum_slots U^T x (pass 1 of the S matvec, ops/hessian.py).
+        xg = [_gather_rows(x_win, ohs[k], 8) for k in range(Kp)]
+        t = [jnp.zeros((1, bm), jnp.float32) for _ in range(3)]
+        for k in range(Kp):
+            Uk = U_ref[:, k, :]  # (18, bm)
+            for cpt in range(3):
+                acc = jnp.zeros((1, bm), jnp.float32)
+                for a_ in range(6):
+                    acc = acc + Uk[a_ * 3 + cpt : a_ * 3 + cpt + 1, :] * xg[k][a_ : a_ + 1, :]
+                t[cpt] = t[cpt] + acc
+
+    for cpt in range(3):
+        t_ref[cpt : cpt + 1, :] = t[cpt]
+    t_ref[3:4, :] = jnp.zeros((1, bm), jnp.float32)
+
+    # v = Cinv t.
+    ci = [Cb_ref[9 + n_ : 10 + n_, :] for n_ in range(6)]
+    v0 = ci[0] * t[0] + ci[1] * t[1] + ci[2] * t[2]
+    v1 = ci[1] * t[0] + ci[3] * t[1] + ci[4] * t[2]
+    v2 = ci[2] * t[0] + ci[4] * t[1] + ci[5] * t[2]
+
+    # w_slot = U v, scattered back to the pose panel (pass 2).
+    acc = jnp.zeros((P, 8), jnp.float32)
+    for k in range(Kp):
+        Uk = U_ref[:, k, :]
+        rows = []
+        for a_ in range(6):
+            rows.append(
+                Uk[a_ * 3 + 0 : a_ * 3 + 1, :] * v0
+                + Uk[a_ * 3 + 1 : a_ * 3 + 2, :] * v1
+                + Uk[a_ * 3 + 2 : a_ * 3 + 3, :] * v2
+            )
+        rows.append(jnp.zeros((2, bm), jnp.float32))
+        contrib = jnp.concatenate(rows, axis=0)  # (8, bm)
+        acc = acc + _scatter_panel(ohs[k], contrib)
+    out_pan_ref[0] = acc
+
+
+def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
+                 obs_ref, spose_ref, X_ref, cost_ref):
+    Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
+    i = pl.program_id(0)
+    gbase = gbase_ref[i]
+    huber = scal_ref[0, 1]
+
+    tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]
+    idx_g = spose_ref[:] - gbase
+    gath = []
+    for k in range(Kp):
+        oh = _onehot(idx_g[k], P)
+        gath.append(_gather_rows(tbl_win, oh, 16))
+    g = jnp.stack(gath, axis=1)
+
+    per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
+    s_norm = jnp.float32(0)
+    s_wsq = jnp.float32(0)
+    s_sq = jnp.float32(0)
+    s_cnt = jnp.float32(0)
+    for c in range(C):
+        cam = per_cam[c]
+        ru, rv, w, valid = cam["ru"], cam["rv"], cam["w"], cam["valid"]
+        sq = ru * ru + rv * rv
+        s_norm += jnp.sum(valid * jnp.sqrt(jnp.maximum(sq, 0.0)))
+        s_wsq += jnp.sum(w * sq)
+        s_sq += jnp.sum(valid * sq)
+        s_cnt += jnp.sum(valid)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = (
+        jnp.where(lane == 0, s_norm, 0.0)
+        + jnp.where(lane == 1, s_wsq, 0.0)
+        + jnp.where(lane == 2, s_sq, 0.0)
+        + jnp.where(lane == 3, s_cnt, 0.0)
+    )
+
+    # Sequential-grid accumulation into one (1, 128) panel (TPU blocks must
+    # be (8, 128)-aligned or dim-equal, so per-block rows are not writable).
+    @pl.when(i == 0)
+    def _():
+        cost_ref[:] = row
+
+    @pl.when(i > 0)
+    def _():
+        cost_ref[:] = cost_ref[:] + row
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers (jit-safe; shape is a static arg)
+# ---------------------------------------------------------------------------
+
+
+def _pose_table(R_cw, t_cw, P):
+    """Pack (N, 3, 3) + (N, 3) into a zero-padded (N + P, 16) gather table."""
+    N = R_cw.shape[0]
+    tbl = jnp.zeros((N + P, 16), jnp.float32)
+    tbl = tbl.at[:N, :9].set(R_cw.reshape(N, 9))
+    tbl = tbl.at[:N, 9:12].set(t_cw)
+    return tbl
+
+
+def _cam_table(rig):
+    """(C, 16) camera table: [fx, fy, cx, cy, R(9), t(3)]."""
+    C = rig.fx.shape[0]
+    tbl = jnp.zeros((C, 16), jnp.float32)
+    tbl = tbl.at[:, 0].set(rig.fx)
+    tbl = tbl.at[:, 1].set(rig.fy)
+    tbl = tbl.at[:, 2].set(rig.cx)
+    tbl = tbl.at[:, 3].set(rig.cy)
+    tbl = tbl.at[:, 4:13].set(rig.R_cam_from_ref.reshape(C, 9))
+    tbl = tbl.at[:, 13:16].set(rig.t_cam_from_ref)
+    return tbl
+
+
+def _second_level(panels, sbase, n_opt, P, cols):
+    """Finish a windowed scatter: (nblocks, P, cols) panels + per-block bases
+    -> (n_opt, cols) via one small segment-sum (nblocks * P rows)."""
+    nblocks = panels.shape[0]
+    keys = (sbase[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]).reshape(-1)
+    flat = panels.reshape(nblocks * P, cols)
+    out = jax.ops.segment_sum(flat, keys, num_segments=n_opt + P)
+    return out[:n_opt]
+
+
+def _tri_to_full(Atri):
+    """(n, 21) upper-tri -> (n, 6, 6) symmetric."""
+    n = Atri.shape[0]
+    A = jnp.zeros((n, 6, 6), Atri.dtype)
+    for n_, (a_, b_) in enumerate(_TRI6):
+        A = A.at[:, a_, b_].set(Atri[:, n_])
+        if a_ != b_:
+            A = A.at[:, b_, a_].set(Atri[:, n_])
+    return A
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
+                lam, huber, interpret: bool = False):
+    """Run the fused assembly kernel.
+
+    Returns (A, a, Cb, U):
+      A (n_opt, 6, 6) damped pose blocks, a (n_opt, 6) gradient,
+      Cb (16, Mp) point-block planes, U (18, Kp, Mp) coupling planes.
+    """
+    Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
+    Mp, nblocks = shape.padded_points, shape.num_blocks
+    pose_tbl = _pose_table(R_cw, t_cw, P)
+    cam_tbl = _cam_table(rig)
+    scal = jnp.stack([lam, jnp.asarray(huber, jnp.float32)]).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # gbase, sbase
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pose_tbl (N+P, 16)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl (C, 16)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 2)
+            pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # obs planes
+            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # slot_pose
+            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # slot_opt
+            pl.BlockSpec((4, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # X
+        ],
+        out_specs=[
+            pl.BlockSpec((18, Kp, bm), lambda i, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),  # U
+            pl.BlockSpec((16, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # Cb
+            pl.BlockSpec((1, P, A_COLS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # A panels
+        ],
+    )
+    U, Cb, Apan = pl.pallas_call(
+        functools.partial(_assemble_kernel, shape),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((18, Kp, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((16, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, P, A_COLS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pm.gbase, pm.sbase, pose_tbl, cam_tbl, scal, pm.obs_f32, pm.slot_pose,
+      pm.slot_opt, X)
+
+    flat = _second_level(Apan, pm.sbase, shape.num_opt_poses, P, A_COLS)
+    Atri = flat[:, :21]
+    a = flat[:, 21:27]
+    A = _tri_to_full(Atri)
+    # (1 + lambda) diagonal damping on the pose blocks (cpp:838-846).
+    damp = 1.0 + lam
+    eye = jnp.eye(6, dtype=A.dtype)
+    A = A * (1.0 + (damp - 1.0) * eye)
+    return A, a, Cb, U
+
+
+def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
+    Kp, bm, P = shape.slots, shape.block_points, shape.window
+    Mp, nblocks = shape.padded_points, shape.num_blocks
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # sbase
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_tbl
+            pl.BlockSpec((18, Kp, bm), lambda i, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),  # U
+            pl.BlockSpec((16, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # Cb
+            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),  # slot_opt
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_matvec_kernel, shape, mode),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks, P, 8), jnp.float32),
+            jax.ShapeDtypeStruct((4, Mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pm.sbase, x_tbl, U, Cb, pm.slot_opt)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+def schur_matvec_pm(pm: PointMajorProblem, shape: PMShape, A, Cb, U, x,
+                    interpret: bool = False):
+    """S @ x for the PCG loop. x: (n_opt, 6). Returns (Sx (n_opt, 6),
+    t (4, Mp)) where t = B^T x per landmark (used for back-substitution)."""
+    n_opt = shape.num_opt_poses
+    P = shape.window
+    x_tbl = jnp.zeros((n_opt + P, 8), jnp.float32).at[:n_opt, :6].set(x)
+    pan, t = _run_matvec(pm, shape, Cb, U, x_tbl, "matvec", interpret)
+    corr = _second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
+    Ax = jnp.einsum("jab,jb->ja", A, x, precision=_HI)
+    return Ax - corr, t
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+def schur_rhs_pm(pm: PointMajorProblem, shape: PMShape, a, Cb, U,
+                 interpret: bool = False):
+    """Reduced rhs = a - B Cinv b, matrix-free (cpp:887-888)."""
+    n_opt = shape.num_opt_poses
+    P = shape.window
+    x_tbl = jnp.zeros((n_opt + P, 8), jnp.float32)
+    pan, _ = _run_matvec(pm, shape, Cb, U, x_tbl, "rhs", interpret)
+    corr = _second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
+    return a - corr
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
+            interpret: bool = False):
+    """Residual-only cost pass. Returns (sum ||r||, sum w r^2, sum r^2,
+    valid count) as f32 scalars (scaled pixel units)."""
+    Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
+    nblocks = shape.num_blocks
+    pose_tbl = _pose_table(R_cw, t_cw, P)
+    cam_tbl = _cam_table(rig)
+    scal = jnp.stack(
+        [jnp.asarray(0.0, jnp.float32), jnp.asarray(huber, jnp.float32)]
+    ).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # gbase
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pose_tbl
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bm), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    tot = pl.pallas_call(
+        functools.partial(_cost_kernel, shape),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        interpret=interpret,
+    )(pm.gbase, pose_tbl, cam_tbl, scal, pm.obs_f32, pm.slot_pose, X)[0]
+    return tot[0], tot[1], tot[2], tot[3]

@@ -83,7 +83,7 @@ class Options:
     iteration_handle: IterationHandle = IterationHandle()
     trust_region_handle: TrustRegionHandle = TrustRegionHandle()
 
-    reduced_system: str = "auto"  # 'dense' | 'cg' | 'auto'
+    reduced_system: str = "auto"  # 'dense' | 'cg' | 'pm' | 'auto'
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-8
     gd_step_clip: float = 0.001

@@ -1,0 +1,213 @@
+"""Parity tests for the point-major Pallas full-BA engine.
+
+The PM engine (solvers/full_ba_pm.py + ops/pallas/full_ba_pm.py) must agree
+with the observation-table engine (solvers/full_ba.py + ops/hessian.py) on
+every intermediate quantity and on the final solution; kernels run in Pallas
+interpret mode on CPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bundle_adjustment_solver_tpu.models.problem import finalized_from_arrays
+from bundle_adjustment_solver_tpu.options import (
+    ConvergenceHandle,
+    IterationHandle,
+    Options,
+    SolverType,
+)
+from bundle_adjustment_solver_tpu.ops import hessian as H
+from bundle_adjustment_solver_tpu.ops.pallas import full_ba_pm as K
+from bundle_adjustment_solver_tpu.ops.projection import full_ba_jacobians
+from bundle_adjustment_solver_tpu.solvers import full_ba
+from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
+    pm_from_finalized,
+    solve_pm,
+)
+from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
+
+_SYM6 = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+
+
+def _small_problem(num_fixed_points=0):
+    prob = corridor_ba_problem(
+        num_poses=12, num_points=300, window=4, seed=7, num_fixed_poses=2
+    )
+    fixed_pose = np.zeros(12, bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    fixed_point = np.zeros(300, bool)
+    if num_fixed_points:
+        fixed_point[:num_fixed_points] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras,
+        prob.poses_initial,
+        prob.points_initial,
+        prob.obs_camera,
+        prob.obs_pose,
+        prob.obs_point,
+        prob.obs_pixel,
+        fixed_pose_mask=fixed_pose,
+        fixed_point_mask=fixed_point,
+    )
+    return problem, shape
+
+
+def _reference_system(problem, shape, lam, huber):
+    X_ref, X_cam, r, w, (fx, fy, R_jw, R_cam) = full_ba._residuals(
+        problem, problem.R_cw, problem.t_cw, problem.points, huber
+    )
+    Q, Rj = full_ba_jacobians(R_jw, X_ref, X_cam, fx, fy, R_cam)
+    return H.assemble_block_system(
+        Q, Rj, r, w, problem.obs_pose_opt, problem.obs_point_opt,
+        shape.num_opt_poses, shape.num_opt_points, lam,
+    ), (r, w)
+
+
+@pytest.mark.parametrize("num_fixed_points", [0, 17])
+def test_assemble_parity(num_fixed_points):
+    problem, shape = _small_problem(num_fixed_points)
+    res = pm_from_finalized(problem, shape, block_points=64)
+    assert res is not None
+    pm, pshape = res
+    huber = 1.0 * shape.scale
+    lam = jnp.float32(2.0)
+
+    sys, _ = _reference_system(problem, shape, lam, huber)
+    A, a, Cb, U = K.assemble_pm(
+        pm, pshape, problem.R_cw, problem.t_cw, pm.X, problem.rig, lam,
+        huber, interpret=True,
+    )
+
+    np.testing.assert_allclose(np.asarray(A), np.asarray(sys.A),
+                               rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(sys.a),
+                               rtol=2e-5, atol=1e-4)
+
+    # Map point-major rows back to opt-point rows to compare C and b.
+    ref = np.asarray(pm.point_ref)
+    point_opt_of = np.full(shape.num_points, -1, np.int32)
+    point_opt_of[np.asarray(problem.opt_point_idx)] = np.arange(
+        shape.num_opt_points
+    )
+    live = (ref >= 0) & (point_opt_of[np.maximum(ref, 0)] >= 0)
+    rows_opt = point_opt_of[ref[live]]
+    Cb_h = np.asarray(Cb)
+    Cref = np.asarray(sys.C)
+    for n, (i, j) in enumerate(_SYM6):
+        np.testing.assert_allclose(
+            Cb_h[n, live], Cref[rows_opt, i, j], rtol=2e-5, atol=1e-3
+        )
+    np.testing.assert_allclose(
+        Cb_h[6:9, live].T, np.asarray(sys.b)[rows_opt], rtol=2e-5, atol=1e-4
+    )
+
+
+def test_matvec_rhs_parity():
+    problem, shape = _small_problem()
+    pm, pshape = pm_from_finalized(problem, shape, block_points=64)
+    huber = 1.0 * shape.scale
+    lam = jnp.float32(0.5)
+    sys, _ = _reference_system(problem, shape, lam, huber)
+    A, a, Cb, U = K.assemble_pm(
+        pm, pshape, problem.R_cw, problem.t_cw, pm.X, problem.rig, lam,
+        huber, interpret=True,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (shape.num_opt_poses, 6)
+        ).astype(np.float32)
+    )
+    Sx_ref = H.schur_matvec(
+        sys, problem.obs_pose_opt, problem.obs_point_opt,
+        shape.num_opt_poses, shape.num_opt_points, x,
+    )
+    Sx_pm, t = K.schur_matvec_pm(pm, pshape, A, Cb, U, x, interpret=True)
+    scale_ref = float(jnp.max(jnp.abs(Sx_ref)))
+    np.testing.assert_allclose(
+        np.asarray(Sx_pm), np.asarray(Sx_ref), rtol=1e-4,
+        atol=1e-6 * scale_ref,
+    )
+
+    rhs_ref = H.schur_rhs(
+        sys, problem.obs_pose_opt, problem.obs_point_opt,
+        shape.num_opt_poses, shape.num_opt_points,
+    )
+    rhs_pm = K.schur_rhs_pm(pm, pshape, a, Cb, U, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(rhs_pm), np.asarray(rhs_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_cost_parity():
+    problem, shape = _small_problem()
+    pm, pshape = pm_from_finalized(problem, shape, block_points=64)
+    huber = 1.0 * shape.scale
+    _, (r, w) = _reference_system(problem, shape, jnp.float32(0.0), huber)
+    c_ref = float(full_ba._cost(problem, r, w, "reference"))
+    c_sq_ref = float(full_ba._cost(problem, r, w, "squared"))
+    s_norm, s_wsq, s_sq, s_cnt = K.cost_pm(
+        pm, pshape, problem.R_cw, problem.t_cw, pm.X, problem.rig, huber,
+        interpret=True,
+    )
+    assert float(s_cnt) == shape.num_observations
+    np.testing.assert_allclose(float(s_norm), c_ref, rtol=1e-5)
+    np.testing.assert_allclose(float(s_wsq), c_sq_ref, rtol=1e-5)
+
+
+def test_solve_pm_matches_full_ba():
+    problem, shape = _small_problem()
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(15),
+        reduced_system="cg",
+        cg_max_iterations=40,
+        cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, summary = solve_pm(problem, shape, opts)
+    assert float(state_pm.final_rmse_px) < 1e-3
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_pm.points), np.asarray(state_ref.points),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_pm.poses_world_to_camera),
+        np.asarray(state_ref.poses_world_to_camera),
+        rtol=1e-3, atol=1e-5,
+    )
+    assert len(summary.optimization_info_list) == 15
+
+
+def test_solve_pm_gradient_descent():
+    problem, shape = _small_problem()
+    opts = Options(
+        solver_type=SolverType.GRADIENT_DESCENT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(5),
+    )
+    sg_ref, _ = full_ba.solve(problem, shape, opts)
+    sg_pm, _ = solve_pm(problem, shape, opts)
+    np.testing.assert_allclose(
+        float(sg_pm.final_cost), float(sg_ref.final_cost), rtol=1e-4
+    )
+
+
+def test_layout_bounds_fallback(monkeypatch):
+    """A landmark seen from more poses than max_slots must return None, and
+    solve_pm must surface that as ValueError (full_ba.solve then falls back
+    to the observation-table path)."""
+    problem, shape = _small_problem()
+    assert pm_from_finalized(problem, shape, max_slots=2) is None
+
+    import bundle_adjustment_solver_tpu.solvers.full_ba_pm as mod
+
+    monkeypatch.setattr(mod, "pm_from_finalized", lambda *a, **k: None)
+    with pytest.raises(ValueError):
+        mod.solve_pm(problem, shape, Options())
