@@ -52,7 +52,7 @@ def build():
     )
     fixed_pose = np.zeros(NUM_POSES, dtype=bool)
     fixed_pose[prob.fixed_pose_ids] = True
-    problem, shape = finalized_from_arrays(
+    problem, shape, host = finalized_from_arrays(
         prob.cameras,
         prob.poses_initial,
         prob.points_initial,
@@ -61,8 +61,9 @@ def build():
         prob.obs_point,
         prob.obs_pixel,
         fixed_pose_mask=fixed_pose,
+        return_host=True,
     )
-    return prob, problem, shape
+    return prob, problem, shape, host
 
 
 def options(max_iter):
@@ -79,7 +80,7 @@ def options(max_iter):
 
 def main():
     dev = jax.devices()[0]
-    prob, problem, shape = build()
+    prob, problem, shape, host = build()
     n_obs = shape.num_observations
 
     # Move the problem to device once (production solvers keep state
@@ -89,7 +90,7 @@ def main():
     if IMPL == "pm":
         from bundle_adjustment_solver_tpu.solvers import full_ba_pm
 
-        pm, pshape = full_ba_pm.pm_from_finalized(problem, shape)
+        pm, pshape = full_ba_pm.pm_from_finalized(problem, shape, host=host)
         pm = jax.device_put(pm, dev)
 
         def run(n):

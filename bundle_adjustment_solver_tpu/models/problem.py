@@ -83,7 +83,12 @@ def finalized_from_arrays(
     fixed_point_mask: np.ndarray | None = None,  # (M,) bool
     scale: float = 0.01,
     dtype=jnp.float32,
-) -> tuple["FinalizedProblem", "ProblemShape"]:
+    return_host: bool = False,
+):
+    """See below; with ``return_host=True`` also returns the host-side numpy
+    arrays (sorted observation table + scaled points + opt-index maps) so
+    layout builders (models/layout.py) never read device arrays back through
+    a potentially slow device tunnel."""
     """Vectorized bulk construction of a finalized problem.
 
     The builder below mirrors the reference's one-at-a-time registration
@@ -157,6 +162,18 @@ def finalized_from_arrays(
         num_cameras=len(list(cameras)),
         scale=scale,
     )
+    if return_host:
+        point_is_opt = ~np.asarray(fixed_point_mask, dtype=bool)
+        host = dict(
+            obs_pose=obs_pose,
+            obs_point=obs_point,
+            obs_cam=obs_cam,
+            obs_pixel=obs_pixel,
+            points=np.asarray(points, dtype=np.float64) * scale,
+            pose_opt_of=pose_opt_of,
+            point_is_opt=point_is_opt,
+        )
+        return finalized, shape, host
     return finalized, shape
 
 

@@ -76,24 +76,40 @@ def pm_from_finalized(
     block_points: int = 256,
     max_slots: int = 32,
     max_window: int = 2048,
+    host: dict | None = None,
 ):
     """Build the point-major layout from a finalized problem, or None when
-    the problem exceeds the layout's static bounds (fall back to full_ba)."""
-    n_opt = shape.num_opt_poses
-    pose_opt_of = np.full(shape.num_poses, n_opt, dtype=np.int32)
-    pose_opt_of[np.asarray(problem.opt_pose_idx)] = np.arange(
-        n_opt, dtype=np.int32
-    )
-    point_is_opt = np.zeros(shape.num_points, dtype=bool)
-    point_is_opt[np.asarray(problem.opt_point_idx)] = True
+    the problem exceeds the layout's static bounds (fall back to full_ba).
+
+    Pass `host` (from finalized_from_arrays(..., return_host=True)) to avoid
+    reading the observation table back from the device -- through a device
+    tunnel those transfers can dwarf the layout build itself.
+    """
+    if host is None:
+        n_opt = shape.num_opt_poses
+        pose_opt_of = np.full(shape.num_poses, n_opt, dtype=np.int32)
+        pose_opt_of[np.asarray(problem.opt_pose_idx)] = np.arange(
+            n_opt, dtype=np.int32
+        )
+        point_is_opt = np.zeros(shape.num_points, dtype=bool)
+        point_is_opt[np.asarray(problem.opt_point_idx)] = True
+        host = dict(
+            obs_pose=np.asarray(problem.obs_pose),
+            obs_point=np.asarray(problem.obs_point),
+            obs_cam=np.asarray(problem.obs_cam),
+            obs_pixel=np.asarray(problem.obs_pixel, dtype=np.float64),
+            points=np.asarray(problem.points, dtype=np.float64),
+            pose_opt_of=pose_opt_of,
+            point_is_opt=point_is_opt,
+        )
     return build_point_major(
-        np.asarray(problem.obs_pose),
-        np.asarray(problem.obs_point),
-        np.asarray(problem.obs_cam),
-        np.asarray(problem.obs_pixel, dtype=np.float64),
-        np.asarray(problem.points, dtype=np.float64),
-        pose_opt_of,
-        point_is_opt,
+        host["obs_pose"],
+        host["obs_point"],
+        host["obs_cam"],
+        host["obs_pixel"],
+        host["points"],
+        host["pose_opt_of"],
+        host["point_is_opt"],
         shape.num_cameras,
         shape.scale,
         block_points=block_points,
