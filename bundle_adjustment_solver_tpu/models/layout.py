@@ -112,6 +112,7 @@ def build_point_major(
     block_points: int = 256,
     max_slots: int = 32,
     max_window: int = 2048,
+    pad_blocks_to: int = 1,  # make num_blocks divisible (sharding over blocks)
     dtype=np.float32,
 ) -> tuple[PointMajorProblem, PMShape] | None:
     """Build the point-major layout, or return None when the problem does not
@@ -169,7 +170,7 @@ def build_point_major(
     rank_of_point[pt_order] = np.arange(M, dtype=np.int32)
 
     bm = int(block_points)
-    Mp = _round_up(max(M, bm), bm)
+    Mp = _round_up(max(M, bm), bm * max(1, int(pad_blocks_to)))
     nblocks = Mp // bm
 
     # Scatter observations into the padded planes.

@@ -449,13 +449,15 @@ def _tri_to_full(Atri):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
-                lam, huber, interpret: bool = False):
-    """Run the fused assembly kernel.
+def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
+                         X, rig, lam, huber, interpret: bool = False):
+    """Run the fused assembly kernel, returning the pose system as flat
+    per-shard partials (for a psum in distributed mode).
 
-    Returns (A, a, Cb, U):
-      A (n_opt, 6, 6) damped pose blocks, a (n_opt, 6) gradient,
-      Cb (16, Mp) point-block planes, U (18, Kp, Mp) coupling planes.
+    Returns (flat, Cb, U):
+      flat (n_opt, A_COLS): [0:21) undamped upper-tri A, [21:27) gradient a,
+      Cb (16, Mp) point-block planes (damped, local to this shard's points),
+      U (18, Kp, Mp) coupling planes.
     """
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     Mp, nblocks = shape.padded_points, shape.num_blocks
@@ -501,6 +503,12 @@ def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
       pm.slot_opt, X)
 
     flat = _second_level(Apan, pm.sbase, shape.num_opt_poses, P, A_COLS)
+    return flat, Cb, U
+
+
+def finish_pose_system(flat, lam):
+    """Flat pose-system partials -> (damped A (n_opt, 6, 6), a (n_opt, 6)).
+    In distributed mode, psum `flat` over the data axis first."""
     Atri = flat[:, :21]
     a = flat[:, 21:27]
     A = _tri_to_full(Atri)
@@ -508,6 +516,16 @@ def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
     damp = 1.0 + lam
     eye = jnp.eye(6, dtype=A.dtype)
     A = A * (1.0 + (damp - 1.0) * eye)
+    return A, a
+
+
+def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
+                lam, huber, interpret: bool = False):
+    """Single-chip assembly: (A damped, a, Cb, U)."""
+    flat, Cb, U = assemble_pm_partials(
+        pm, shape, R_cw, t_cw, X, rig, lam, huber, interpret=interpret
+    )
+    A, a = finish_pose_system(flat, lam)
     return A, a, Cb, U
 
 
@@ -545,29 +563,43 @@ def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def schur_matvec_pm(pm: PointMajorProblem, shape: PMShape, A, Cb, U, x,
-                    interpret: bool = False):
-    """S @ x for the PCG loop. x: (n_opt, 6). Returns (Sx (n_opt, 6),
-    t (4, Mp)) where t = B^T x per landmark (used for back-substitution)."""
+def matvec_corr_pm(pm: PointMajorProblem, shape: PMShape, Cb, U, x,
+                   interpret: bool = False):
+    """The B Cinv B^T x correction of S @ x, as a per-shard partial (psum in
+    distributed mode). Returns (corr (n_opt, 6), t (4, Mp)) where
+    t = B^T x per landmark (used for back-substitution)."""
     n_opt = shape.num_opt_poses
     P = shape.window
     x_tbl = jnp.zeros((n_opt + P, 8), jnp.float32).at[:n_opt, :6].set(x)
     pan, t = _run_matvec(pm, shape, Cb, U, x_tbl, "matvec", interpret)
     corr = _second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
-    Ax = jnp.einsum("jab,jb->ja", A, x, precision=_HI)
-    return Ax - corr, t
+    return corr, t
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def schur_rhs_pm(pm: PointMajorProblem, shape: PMShape, a, Cb, U,
-                 interpret: bool = False):
-    """Reduced rhs = a - B Cinv b, matrix-free (cpp:887-888)."""
+def rhs_corr_pm(pm: PointMajorProblem, shape: PMShape, Cb, U,
+                interpret: bool = False):
+    """The B Cinv b correction of the reduced rhs, per-shard partial."""
     n_opt = shape.num_opt_poses
     P = shape.window
     x_tbl = jnp.zeros((n_opt + P, 8), jnp.float32)
     pan, _ = _run_matvec(pm, shape, Cb, U, x_tbl, "rhs", interpret)
-    corr = _second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
-    return a - corr
+    return _second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
+
+
+def schur_matvec_pm(pm: PointMajorProblem, shape: PMShape, A, Cb, U, x,
+                    interpret: bool = False):
+    """S @ x for the single-chip PCG loop. x: (n_opt, 6). Returns
+    (Sx (n_opt, 6), t (4, Mp))."""
+    corr, t = matvec_corr_pm(pm, shape, Cb, U, x, interpret=interpret)
+    Ax = jnp.einsum("jab,jb->ja", A, x, precision=_HI)
+    return Ax - corr, t
+
+
+def schur_rhs_pm(pm: PointMajorProblem, shape: PMShape, a, Cb, U,
+                 interpret: bool = False):
+    """Reduced rhs = a - B Cinv b, matrix-free (cpp:887-888)."""
+    return a - rhs_corr_pm(pm, shape, Cb, U, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))

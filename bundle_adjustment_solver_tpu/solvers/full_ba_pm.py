@@ -77,6 +77,7 @@ def pm_from_finalized(
     max_slots: int = 32,
     max_window: int = 2048,
     host: dict | None = None,
+    pad_blocks_to: int = 1,
 ):
     """Build the point-major layout from a finalized problem, or None when
     the problem exceeds the layout's static bounds (fall back to full_ba).
@@ -115,6 +116,7 @@ def pm_from_finalized(
         block_points=block_points,
         max_slots=max_slots,
         max_window=max_window,
+        pad_blocks_to=pad_blocks_to,
     )
 
 

@@ -1,0 +1,89 @@
+"""Distributed point-major engine: multi-device parity on the CPU mesh.
+
+The sharded PM solver (parallel/sharded_pm.py) must reproduce the
+single-device PM solver's results bit-closely: landmark shards only interact
+with the replicated pose system through psums, so the only tolerated
+difference is f32 reduction order.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from bundle_adjustment_solver_tpu.models.problem import finalized_from_arrays
+from bundle_adjustment_solver_tpu.options import (
+    ConvergenceHandle,
+    IterationHandle,
+    Options,
+    SolverType,
+)
+from bundle_adjustment_solver_tpu.parallel.sharded_pm import solve_sharded_pm
+from bundle_adjustment_solver_tpu.solvers.full_ba_pm import solve_pm
+from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
+
+
+def _problem():
+    prob = corridor_ba_problem(
+        num_poses=16, num_points=600, window=4, seed=11, num_fixed_poses=2
+    )
+    fixed = np.zeros(16, bool)
+    fixed[prob.fixed_pose_ids] = True
+    return finalized_from_arrays(
+        prob.cameras,
+        prob.poses_initial,
+        prob.points_initial,
+        prob.obs_camera,
+        prob.obs_pose,
+        prob.obs_point,
+        prob.obs_pixel,
+        fixed_pose_mask=fixed,
+    )
+
+
+@pytest.mark.parametrize("num_shards", [2, 8])
+def test_sharded_pm_matches_single_device(num_shards):
+    assert len(jax.devices()) >= num_shards
+    problem, shape = _problem()
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(8),
+        cg_max_iterations=30,
+        cg_tolerance=1e-10,
+    )
+    s1, _ = solve_pm(problem, shape, opts)
+    sN, summary = solve_sharded_pm(problem, shape, opts, num_shards=num_shards)
+    np.testing.assert_allclose(
+        float(sN.final_cost), float(s1.final_cost), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sN.points), np.asarray(s1.points), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sN.poses_world_to_camera),
+        np.asarray(s1.poses_world_to_camera),
+        rtol=1e-3,
+        atol=1e-5,
+    )
+    assert len(summary.optimization_info_list) == 8
+
+
+def test_sharded_pm_converges_to_truth():
+    prob = corridor_ba_problem(
+        num_poses=16, num_points=600, window=4, seed=11, num_fixed_poses=2
+    )
+    problem, shape = _problem()
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(1e-10, 1e-10),
+        iteration_handle=IterationHandle(30),
+        cg_max_iterations=50,
+        cg_tolerance=1e-12,
+    )
+    state, _ = solve_sharded_pm(problem, shape, opts, num_shards=4)
+    assert float(state.final_rmse_px) < 5e-3
+    pose_err = np.abs(
+        np.asarray(state.poses_world_to_camera)[:, :3, 3]
+        - prob.poses_true[:, :3, 3]
+    ).max()
+    assert pose_err < 0.05  # absolute recovery up to corridor gauge drift
