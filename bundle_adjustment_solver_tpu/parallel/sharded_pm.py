@@ -35,8 +35,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.layout import PMShape, PointMajorProblem
 from ..models.problem import FinalizedProblem, ProblemShape
-from ..ops.hessian import inverse_6x6
 from ..ops.lie import compose, inverse_se3, se3_exp
+from ..ops.sym6 import inverse_tri6, tri6_matvec
 from ..ops.pallas import full_ba_pm as K
 from ..options import IterationStatus, Options, SolverType
 from ..solvers.full_ba import FullBAState, _GN_LAMBDA
@@ -148,19 +148,17 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         )
         return _psum(s_wsq if metric == "squared" else s_norm)
 
-    def pcg(Cb, U, A, rhs):
-        precond = inverse_6x6(A)
+    def pcg(Cb, U, Atri, rhs):
+        precond_tri = inverse_tri6(Atri)
 
         def matvec(x):
             corr, t = K.matvec_corr_pm(
                 pm_local, shape, Cb, U, x, interpret=interpret
             )
-            corr = _psum(corr)
-            Ax = jnp.einsum("jab,jb->ja", A, x, precision=_HI)
-            return Ax - corr, t
+            return tri6_matvec(Atri, x) - _psum(corr), t
 
         def apply_precond(r):
-            return jnp.einsum("jab,jb->ja", precond, r, precision=_HI)
+            return tri6_matvec(precond_tri, r)
 
         x0 = jnp.zeros_like(rhs)
         z0 = apply_precond(rhs)
@@ -200,7 +198,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             pm_local, shape, R_cw, t_cw, X, rig, lam_eff, huber,
             interpret=interpret,
         )
-        A, a = K.finish_pose_system(_psum(flat), lam_eff)
+        Atri, a = K.finish_pose_system_tri(_psum(flat), lam_eff)
 
         if is_gd:
             def clip_blocks(g, clip):
@@ -213,7 +211,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             rhs = a - _psum(
                 K.rhs_corr_pm(pm_local, shape, Cb, U, interpret=interpret)
             )
-            x, t = pcg(Cb, U, A, rhs)
+            x, t = pcg(Cb, U, Atri, rhs)
             y = _apply_cinv(Cb, t)
 
         dR, dt = se3_exp(x)
@@ -227,9 +225,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         current_cost = eval_cost(R_cand, t_cand, X_cand)
 
         if is_lm:
-            term_pose = jnp.sum(a * x) + jnp.einsum(
-                "ja,jab,jb->", x, A, x, precision=_HI
-            )
+            term_pose = jnp.sum(a * x) + jnp.sum(x * tri6_matvec(Atri, x))
             b_pl = Cb[6:9]
             Cy = _c_times(Cb, y)
             term_point = _psum(

@@ -145,18 +145,21 @@ def _c_times(Cb, y):
     )
 
 
-def _block_pcg_pm(pm, shape, A, Cb, U, rhs, precond_inv, max_iter, tol,
+def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
                   interpret):
-    """Block-Jacobi PCG on the reduced system with the Pallas matvec.
+    """Block-Jacobi PCG on the reduced system with the Pallas matvec; the
+    pose blocks stay in the flat tri layout (ops/sym6.py).
 
     Returns (x, t_at_x) where t_at_x = B^T x from one final matvec (exact at
     the returned x, needed by back-substitution)."""
+    from ..ops.sym6 import tri6_matvec
 
     def matvec(x):
-        return K.schur_matvec_pm(pm, shape, A, Cb, U, x, interpret=interpret)
+        corr, t = K.matvec_corr_pm(pm, shape, Cb, U, x, interpret=interpret)
+        return tri6_matvec(Atri, x) - corr, t
 
     def apply_precond(r):
-        return jnp.einsum("jab,jb->ja", precond_inv, r, precision=_HI)
+        return tri6_matvec(precond_tri, r)
 
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
@@ -187,12 +190,6 @@ def _block_pcg_pm(pm, shape, A, Cb, U, rhs, precond_inv, max_iter, tol,
     )
     _, t = matvec(x)
     return x, t
-
-
-def _inverse_6x6(A):
-    from ..ops.hessian import inverse_6x6
-
-    return inverse_6x6(A)
 
 
 @functools.partial(
@@ -230,12 +227,15 @@ def _solve_pm_jax(
         )
         return s_wsq if metric == "squared" else s_norm
 
+    from ..ops.sym6 import inverse_tri6, tri6_matvec
+
     def body(c: _Carry):
         lam_eff = c.lam if is_lm else jnp.asarray(_GN_LAMBDA, dtype)
-        A, a, Cb, U = K.assemble_pm(
+        flat, Cb, U = K.assemble_pm_partials(
             pm, shape, c.R_cw, c.t_cw, c.X, rig, lam_eff, huber,
             interpret=interpret,
         )
+        Atri, a = K.finish_pose_system_tri(flat, lam_eff)
 
         if is_gd:
             def clip_blocks(g, clip):
@@ -246,10 +246,10 @@ def _solve_pm_jax(
             b_planes = Cb[6:9]
             y = clip_blocks(b_planes, opts.gd_step_clip)  # (3, Mp)
         else:
-            rhs = K.schur_rhs_pm(pm, shape, a, Cb, U, interpret=interpret)
-            precond = _inverse_6x6(A)
+            rhs = a - K.rhs_corr_pm(pm, shape, Cb, U, interpret=interpret)
+            precond_tri = inverse_tri6(Atri)
             x, t = _block_pcg_pm(
-                pm, shape, A, Cb, U, rhs, precond,
+                pm, shape, Atri, Cb, U, rhs, precond_tri,
                 opts.cg_max_iterations, opts.cg_tolerance, interpret,
             )
             y = _apply_cinv(Cb, t)  # (3, Mp)
@@ -268,9 +268,7 @@ def _solve_pm_jax(
         if is_lm:
             # Quadratic-model decrease without an extra observation pass:
             # B^T x = b - C y identically from the back-substitution.
-            term_pose = jnp.sum(a * x) + jnp.einsum(
-                "ja,jab,jb->", x, A, x, precision=_HI
-            )
+            term_pose = jnp.sum(a * x) + jnp.sum(x * tri6_matvec(Atri, x))
             b_pl = Cb[6:9]
             Cy = _c_times(Cb, y)
             term_point = jnp.sum(b_pl * y) + jnp.sum(y * Cy)
