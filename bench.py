@@ -42,7 +42,7 @@ from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
 NUM_POSES = int(os.environ.get("BENCH_POSES", 2000))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 200_000))
 WINDOW = int(os.environ.get("BENCH_WINDOW", 6))
-TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 20))
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 50))
 IMPL = os.environ.get("BENCH_IMPL", "pm")  # 'pm' (pallas) | 'cg' (obs table)
 
 
@@ -67,14 +67,16 @@ def build():
 
 
 def options(max_iter):
-    # Thresholds at 0 force exactly max_iter LM iterations (no early exit).
+    # Thresholds at 0 force exactly max_iter LM iterations and exactly 25 CG
+    # iterations per LM iteration (no early exit): a deterministic workload,
+    # comparable across runs regardless of convergence state.
     return Options(
         solver_type=SolverType.LEVENBERG_MARQUARDT,
         convergence_handle=ConvergenceHandle(0.0, 0.0),
         iteration_handle=IterationHandle(max_iter),
         reduced_system="cg",
         cg_max_iterations=25,
-        cg_tolerance=1e-6,
+        cg_tolerance=0.0,
     )
 
 

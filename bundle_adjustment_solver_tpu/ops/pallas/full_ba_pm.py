@@ -60,6 +60,17 @@ def _onehot(idx, P):
     return (iota == idx[None]).astype(jnp.float32)
 
 
+def _onehot_flat(idx, P):
+    """(P, K*bm) flattened one-hot of (K, bm) offsets -- one wide matmul
+    operand instead of K narrow ones (tiny MXU dots are latency-bound:
+    batching K=8 (P, bm) dots into one (P, K*bm) dot cut the matvec kernel
+    ~2x on v5e)."""
+    K, bm = idx.shape
+    flat = idx.reshape(1, K * bm)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P, K * bm), 0)
+    return (iota == flat).astype(jnp.float32)
+
+
 def _gather_rows(tbl_win, oh, width):
     """(width, ...) = tbl_win^T @ oh, contracting the window axis.
 
@@ -212,14 +223,11 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     lam = scal_ref[0, 0]
     huber = scal_ref[0, 1]
 
-    # Windowed one-hot gather of pose rows: (16, Kp, bm).
+    # Windowed one-hot gather of pose rows: one wide MXU dot for all slots.
     tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]  # (P, 16)
     idx_g = spose_ref[:] - gbase  # (Kp, bm)
-    gath = []
-    for k in range(Kp):
-        oh = _onehot(idx_g[k], P)  # (P, bm)
-        gath.append(_gather_rows(tbl_win, oh, 16))
-    g = jnp.stack(gath, axis=1)  # (16, Kp, bm)
+    ohg = _onehot_flat(idx_g, P)  # (P, Kp*bm)
+    g = _gather_rows(tbl_win, ohg, 16).reshape(16, Kp, bm)
 
     X_blk = X_ref[:]  # (4, bm)
     pmask = X_blk[3:4, :]  # (1, bm) 1.0 for optimizable landmarks
@@ -284,19 +292,16 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     for e in range(18):
         U_ref[e] = Ue[e] * pmask
 
-    # Pose-system panel: windowed one-hot scatter on the MXU.
+    # Pose-system panel: one windowed one-hot MXU scatter for all slots.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
-    acc = jnp.zeros((P, A_COLS), jnp.float32)
-    for k in range(Kp):
-        oh = _onehot(idx_s[k], P)  # (P, bm)
-        contrib = jnp.concatenate(
-            [Atri[n_][k : k + 1, :] for n_ in range(21)]
-            + [avec[a_][k : k + 1, :] for a_ in range(6)]
-            + [jnp.zeros((A_COLS - 27, bm), jnp.float32)],
-            axis=0,
-        )  # (A_COLS, bm)
-        acc = acc + _scatter_panel(oh, contrib)
-    Apan_ref[0] = acc
+    ohs = _onehot_flat(idx_s, P)  # (P, Kp*bm)
+    contrib = jnp.concatenate(
+        [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
+        + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
+        + [jnp.zeros((A_COLS - 27, Kp * bm), jnp.float32)],
+        axis=0,
+    )  # (A_COLS, Kp*bm)
+    Apan_ref[0] = _scatter_panel(ohs, contrib)
 
 
 def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
@@ -307,24 +312,25 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     x_win = x_tbl_ref[pl.ds(sbase, P), :]  # (P, 8)
     idx_s = sopt_ref[:] - sbase  # (Kp, bm)
 
-    ohs = [_onehot(idx_s[k], P) for k in range(Kp)]
+    ohs = _onehot_flat(idx_s, P)  # (P, Kp*bm)
+
+    U = [U_ref[e] for e in range(18)]  # each (Kp, bm): full-sublane planes
 
     if mode == "rhs":
         # t := b (the per-landmark gradient) so the scatter below produces
         # the B Cinv b correction of the reduced rhs (cpp:887-888).
         t = [Cb_ref[6 + cpt : 7 + cpt, :] for cpt in range(3)]
     else:
-        # Gather x at each slot's pose (fixed slots gather zeros) and take
-        # t = sum_slots U^T x (pass 1 of the S matvec, ops/hessian.py).
-        xg = [_gather_rows(x_win, ohs[k], 8) for k in range(Kp)]
-        t = [jnp.zeros((1, bm), jnp.float32) for _ in range(3)]
-        for k in range(Kp):
-            Uk = U_ref[:, k, :]  # (18, bm)
-            for cpt in range(3):
-                acc = jnp.zeros((1, bm), jnp.float32)
-                for a_ in range(6):
-                    acc = acc + Uk[a_ * 3 + cpt : a_ * 3 + cpt + 1, :] * xg[k][a_ : a_ + 1, :]
-                t[cpt] = t[cpt] + acc
+        # Gather x at every slot's pose in one wide dot (fixed slots gather
+        # zeros), then t = sum_slots U^T x (pass 1 of the S matvec); all
+        # element math runs on full-sublane (Kp, bm) planes.
+        xg_all = _gather_rows(x_win, ohs, 8).reshape(8, Kp, bm)
+        t = []
+        for cpt in range(3):
+            acc = U[cpt] * xg_all[0]
+            for a_ in range(1, 6):
+                acc = acc + U[a_ * 3 + cpt] * xg_all[a_]
+            t.append(jnp.sum(acc, axis=0, keepdims=True))  # (1, bm)
 
     for cpt in range(3):
         t_ref[cpt : cpt + 1, :] = t[cpt]
@@ -336,21 +342,15 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     v1 = ci[1] * t[0] + ci[3] * t[1] + ci[4] * t[2]
     v2 = ci[2] * t[0] + ci[4] * t[1] + ci[5] * t[2]
 
-    # w_slot = U v, scattered back to the pose panel (pass 2).
-    acc = jnp.zeros((P, 8), jnp.float32)
-    for k in range(Kp):
-        Uk = U_ref[:, k, :]
-        rows = []
-        for a_ in range(6):
-            rows.append(
-                Uk[a_ * 3 + 0 : a_ * 3 + 1, :] * v0
-                + Uk[a_ * 3 + 1 : a_ * 3 + 2, :] * v1
-                + Uk[a_ * 3 + 2 : a_ * 3 + 3, :] * v2
-            )
-        rows.append(jnp.zeros((2, bm), jnp.float32))
-        contrib = jnp.concatenate(rows, axis=0)  # (8, bm)
-        acc = acc + _scatter_panel(ohs[k], contrib)
-    out_pan_ref[0] = acc
+    # w_slot = U v ((1, bm) v broadcasts over the Kp sublanes), scattered
+    # back to the pose panel in one wide dot.
+    rows = []
+    for a_ in range(6):
+        row = U[a_ * 3] * v0 + U[a_ * 3 + 1] * v1 + U[a_ * 3 + 2] * v2
+        rows.append(row.reshape(1, Kp * bm))
+    rows.append(jnp.zeros((2, Kp * bm), jnp.float32))
+    contrib = jnp.concatenate(rows, axis=0)  # (8, Kp*bm)
+    out_pan_ref[0] = _scatter_panel(ohs, contrib)
 
 
 def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
@@ -362,11 +362,8 @@ def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
 
     tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]
     idx_g = spose_ref[:] - gbase
-    gath = []
-    for k in range(Kp):
-        oh = _onehot(idx_g[k], P)
-        gath.append(_gather_rows(tbl_win, oh, 16))
-    g = jnp.stack(gath, axis=1)
+    ohg = _onehot_flat(idx_g, P)
+    g = _gather_rows(tbl_win, ohg, 16).reshape(16, Kp, bm)
 
     per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
     s_norm = jnp.float32(0)

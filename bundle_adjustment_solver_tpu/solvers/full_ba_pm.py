@@ -73,7 +73,7 @@ class _Carry(NamedTuple):
 def pm_from_finalized(
     problem: FinalizedProblem,
     shape: ProblemShape,
-    block_points: int = 256,
+    block_points: int | None = None,
     max_slots: int = 32,
     max_window: int = 2048,
     host: dict | None = None,
@@ -85,7 +85,13 @@ def pm_from_finalized(
     Pass `host` (from finalized_from_arrays(..., return_host=True)) to avoid
     reading the observation table back from the device -- through a device
     tunnel those transfers can dwarf the layout build itself.
+
+    block_points default: 1024 landmarks per kernel block at >= 100k
+    landmarks (amortizes grid overhead; ~8% faster than 256 on v5e), 256
+    below (less padding waste on small problems).
     """
+    if block_points is None:
+        block_points = 1024 if shape.num_points >= 100_000 else 256
     if host is None:
         n_opt = shape.num_opt_poses
         pose_opt_of = np.full(shape.num_poses, n_opt, dtype=np.int32)
