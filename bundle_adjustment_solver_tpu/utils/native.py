@@ -80,6 +80,21 @@ def get_lib() -> ctypes.CDLL | None:
             i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p
         ]
         lib.ba_partition_landmarks.restype = ctypes.c_int
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.ba_pm_probe.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p,
+        ]
+        lib.ba_pm_probe.restype = ctypes.c_int64
+        lib.ba_pm_fill.argtypes = [
+            i32p, i32p, i32p, f64p, f64p, i32p, u8p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            f32p, f32p, f32p, i32p, i32p, f32p, i32p,
+        ]
+        lib.ba_pm_fill.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -147,6 +162,81 @@ def connectivity(
     ppp = np.bincount(pairs[:, 0], minlength=num_poses).astype(np.int32)
     ppt = np.bincount(pairs[:, 1], minlength=num_points).astype(np.int32)
     return ppp, ppt
+
+
+def pm_probe(
+    obs_pose: np.ndarray, obs_point: np.ndarray, num_points: int,
+    num_poses: int,
+) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """Native per-point (unique-pose slot count, min observing pose) probe
+    for the point-major layout builder. Returns (kp_max, slot_count,
+    min_pose) or None when the native library is unavailable."""
+    lib = get_lib()
+    n = obs_pose.shape[0]
+    if lib is None or n == 0:
+        return None
+    op = _i32(obs_pose)
+    oi = _i32(obs_point)
+    slot_count = np.empty(num_points, dtype=np.int32)
+    min_pose = np.empty(num_points, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    kp_max = lib.ba_pm_probe(
+        op.ctypes.data_as(i32p), oi.ctypes.data_as(i32p), n, num_points,
+        num_poses, slot_count.ctypes.data_as(i32p),
+        min_pose.ctypes.data_as(i32p),
+    )
+    if kp_max < 0:
+        return None
+    return int(kp_max), slot_count, min_pose
+
+
+def pm_fill(
+    obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+    point_is_opt, rank_of_point, n_opt: int, num_cams: int, kp: int, mp: int,
+):
+    """Native scatter of observations into the padded cam-major planes.
+    Returns (u, v, valid, slot_pose, slot_opt, X, point_ref) or None."""
+    lib = get_lib()
+    n = obs_pose.shape[0]
+    num_points = points.shape[0]
+    num_poses = pose_opt_of.shape[0]
+    if lib is None or n == 0:
+        return None
+    op = _i32(obs_pose)
+    oi = _i32(obs_point)
+    oc = _i32(obs_cam)
+    pix = np.ascontiguousarray(obs_pixel, dtype=np.float64)
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    poo = _i32(pose_opt_of)
+    pio = np.ascontiguousarray(point_is_opt, dtype=np.uint8)
+    rop = _i32(rank_of_point)
+
+    u = np.zeros((kp * num_cams, mp), dtype=np.float32)
+    v = np.zeros((kp * num_cams, mp), dtype=np.float32)
+    valid = np.zeros((kp * num_cams, mp), dtype=np.float32)
+    slot_pose = np.zeros((kp, mp), dtype=np.int32)
+    slot_opt = np.full((kp, mp), -1, dtype=np.int32)
+    X = np.zeros((4, mp), dtype=np.float32)
+    point_ref = np.full(mp, -1, dtype=np.int32)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.ba_pm_fill(
+        op.ctypes.data_as(i32p), oi.ctypes.data_as(i32p),
+        oc.ctypes.data_as(i32p), pix.ctypes.data_as(f64p),
+        pts.ctypes.data_as(f64p), poo.ctypes.data_as(i32p),
+        pio.ctypes.data_as(u8p), rop.ctypes.data_as(i32p),
+        n, num_points, num_poses, n_opt, num_cams, kp, mp,
+        u.ctypes.data_as(f32p), v.ctypes.data_as(f32p),
+        valid.ctypes.data_as(f32p), slot_pose.ctypes.data_as(i32p),
+        slot_opt.ctypes.data_as(i32p), X.ctypes.data_as(f32p),
+        point_ref.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        return None
+    return u, v, valid, slot_pose, slot_opt, X, point_ref
 
 
 def partition_landmarks(

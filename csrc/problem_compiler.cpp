@@ -89,6 +89,121 @@ int ba_connectivity(const int32_t* obs_pose, const int32_t* obs_point,
   return 0;
 }
 
+// --- Point-major layout builder (models/layout.py's hot loops) -----------
+//
+// Two-call protocol so Python controls allocation:
+//   ba_pm_probe  -- per-point unique-pose slot counts + min observing pose;
+//                   returns the maximum slot count (Kp before padding).
+//   ba_pm_fill   -- scatter observations into the padded cam-major planes.
+// Serial O(n) passes with counting-sort buckets; 12M observations build in
+// ~1 s where the vectorized-numpy fallback takes ~35 s.
+
+// slot_count_out (M,), min_pose_out (M,). Returns max slots, or -1 on error.
+int64_t ba_pm_probe(const int32_t* obs_pose, const int32_t* obs_point,
+                    int64_t n, int64_t num_points, int64_t num_poses,
+                    int32_t* slot_count_out, int32_t* min_pose_out) {
+  if (n < 0 || num_points <= 0 || num_poses <= 0) return -1;
+  std::vector<int64_t> start(static_cast<size_t>(num_points) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) start[obs_point[i] + 1]++;
+  for (int64_t k = 0; k < num_points; ++k) start[k + 1] += start[k];
+  std::vector<int32_t> pose_of(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> cursor(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < n; ++i)
+      pose_of[cursor[obs_point[i]]++] = obs_pose[i];
+  }
+  std::vector<int64_t> stamp(static_cast<size_t>(num_poses), -1);
+  int64_t kp_max = 0;
+  for (int64_t p = 0; p < num_points; ++p) {
+    int32_t slots = 0;
+    int32_t mn = static_cast<int32_t>(num_poses);
+    for (int64_t k = start[p]; k < start[p + 1]; ++k) {
+      const int32_t j = pose_of[static_cast<size_t>(k)];
+      if (j < mn) mn = j;
+      if (stamp[j] != p) {
+        stamp[j] = p;
+        slots++;
+      }
+    }
+    slot_count_out[p] = slots;
+    min_pose_out[p] = mn;  // num_poses when the point has no observations
+    if (slots > kp_max) kp_max = slots;
+  }
+  return kp_max;
+}
+
+// Fill the padded cam-major planes. rank_of_point maps point id -> padded
+// landmark row (from Python's stable argsort by min_pose). Slots within a
+// point are assigned in ascending pose order (insertion into a tiny sorted
+// array -- slot counts are <= max_slots). All outputs must be pre-zeroed
+// except slot_opt (pre-filled -1) and point_ref (pre-filled -1).
+int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
+               const int32_t* obs_cam, const double* obs_pixel /* (n,2) */,
+               const double* points /* (M,3) */,
+               const int32_t* pose_opt_of /* (N,) sentinel n_opt */,
+               const uint8_t* point_is_opt /* (M,) */,
+               const int32_t* rank_of_point /* (M,) */,
+               int64_t n, int64_t num_points, int64_t num_poses,
+               int64_t n_opt, int64_t num_cams, int64_t kp, int64_t mp,
+               float* u_plane /* (kp*C, mp) */, float* v_plane,
+               float* valid_plane, int32_t* slot_pose /* (kp, mp) */,
+               int32_t* slot_opt /* (kp, mp) */, float* X /* (4, mp) */,
+               int32_t* point_ref /* (mp,) */) {
+  if (n < 0 || num_points <= 0 || kp <= 0 || mp <= 0) return -1;
+  // Bucket observation ids by point.
+  std::vector<int64_t> start(static_cast<size_t>(num_points) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) start[obs_point[i] + 1]++;
+  for (int64_t k = 0; k < num_points; ++k) start[k + 1] += start[k];
+  std::vector<int64_t> obs_of(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> cursor(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < n; ++i) obs_of[cursor[obs_point[i]]++] = i;
+  }
+
+  std::vector<int32_t> run_poses(static_cast<size_t>(kp));
+  for (int64_t p = 0; p < num_points; ++p) {
+    const int64_t row = rank_of_point[p];
+    point_ref[row] = static_cast<int32_t>(p);
+    X[row] = static_cast<float>(points[p * 3 + 0]);
+    X[mp + row] = static_cast<float>(points[p * 3 + 1]);
+    X[2 * mp + row] = static_cast<float>(points[p * 3 + 2]);
+    X[3 * mp + row] = point_is_opt[p] ? 1.0f : 0.0f;
+
+    // Collect the distinct observing poses in ascending order.
+    int64_t nslots = 0;
+    for (int64_t k = start[p]; k < start[p + 1]; ++k) {
+      const int32_t j = obs_pose[obs_of[static_cast<size_t>(k)]];
+      int64_t lo = 0;
+      while (lo < nslots && run_poses[lo] < j) lo++;
+      if (lo < nslots && run_poses[lo] == j) continue;
+      if (nslots >= kp) return -2;  // caller sized kp too small
+      for (int64_t m = nslots; m > lo; --m) run_poses[m] = run_poses[m - 1];
+      run_poses[lo] = j;
+      nslots++;
+    }
+    for (int64_t s = 0; s < nslots; ++s) {
+      const int32_t j = run_poses[s];
+      slot_pose[s * mp + row] = j;
+      const int32_t opt = pose_opt_of[j];
+      slot_opt[s * mp + row] = (opt == n_opt) ? -1 : opt;
+    }
+    // Scatter pixels into the cam-major planes.
+    for (int64_t k = start[p]; k < start[p + 1]; ++k) {
+      const int64_t o = obs_of[static_cast<size_t>(k)];
+      const int32_t j = obs_pose[o];
+      int64_t s = 0;
+      while (run_poses[s] != j) s++;
+      const int64_t c = obs_cam[o];
+      if (c < 0 || c >= num_cams) return -3;
+      const int64_t plane_row = c * kp + s;
+      u_plane[plane_row * mp + row] = static_cast<float>(obs_pixel[o * 2 + 0]);
+      v_plane[plane_row * mp + row] = static_cast<float>(obs_pixel[o * 2 + 1]);
+      valid_plane[plane_row * mp + row] = 1.0f;
+    }
+  }
+  return 0;
+}
+
 // Greedy contiguous landmark partition balancing observation counts.
 // obs_per_point: (M,) observation count per point id.
 // boundaries_out: (num_shards + 1,) point-id cut points
