@@ -288,9 +288,12 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
         Cb_ref[6 + a_ : 7 + a_, :] = bvec[a_] * pmask
     Cb_ref[15:16, :] = jnp.sum(slot_use, axis=0, keepdims=True)
 
-    # U planes, masked so fixed landmarks never couple.
+    # U planes, masked so fixed landmarks never couple. Stored in the
+    # configured coupling dtype: bf16 halves the dominant DMA of the CG
+    # matvec (the ~0.4% step-direction perturbation is benign for an
+    # inexact-Newton trust region -- costs and gradients stay f32).
     for e in range(18):
-        U_ref[e] = Ue[e] * pmask
+        U_ref[e] = (Ue[e] * pmask).astype(U_ref.dtype)
 
     # Pose-system panel: one windowed one-hot MXU scatter for all slots.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
@@ -314,7 +317,8 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
 
     ohs = _onehot_flat(idx_s, P)  # (P, Kp*bm)
 
-    U = [U_ref[e] for e in range(18)]  # each (Kp, bm): full-sublane planes
+    # Full-sublane (Kp, bm) planes, upcast once from the storage dtype.
+    U = [U_ref[e].astype(jnp.float32) for e in range(18)]
 
     if mode == "rhs":
         # t := b (the per-landmark gradient) so the scatter below produces
@@ -445,16 +449,21 @@ def _tri_to_full(Atri):
     return A
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("shape", "interpret", "u_dtype")
+)
 def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
-                         X, rig, lam, huber, interpret: bool = False):
+                         X, rig, lam, huber, interpret: bool = False,
+                         u_dtype: str = "float32"):
     """Run the fused assembly kernel, returning the pose system as flat
     per-shard partials (for a psum in distributed mode).
 
     Returns (flat, Cb, U):
       flat (n_opt, A_COLS): [0:21) undamped upper-tri A, [21:27) gradient a,
       Cb (16, Mp) point-block planes (damped, local to this shard's points),
-      U (18, Kp, Mp) coupling planes.
+      U (18, Kp, Mp) coupling planes in `u_dtype` ("bfloat16" halves the
+      matvec's U traffic for DMA-bound problems at a slightly higher
+      convergence floor; "float32" default).
     """
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     Mp, nblocks = shape.padded_points, shape.num_blocks
@@ -491,7 +500,7 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
         functools.partial(_assemble_kernel, shape),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((18, Kp, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((18, Kp, Mp), jnp.dtype(u_dtype)),
             jax.ShapeDtypeStruct((16, Mp), jnp.float32),
             jax.ShapeDtypeStruct((nblocks, P, A_COLS), jnp.float32),
         ],
@@ -523,10 +532,13 @@ def finish_pose_system(flat, lam):
 
 
 def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
-                lam, huber, interpret: bool = False):
-    """Single-chip assembly: (A damped, a, Cb, U)."""
+                lam, huber, interpret: bool = False,
+                u_dtype: str = "float32"):
+    """Single-chip assembly: (A damped, a, Cb, U). Defaults to f32 coupling
+    blocks for exact parity checks; solvers pass Options.coupling_dtype."""
     flat, Cb, U = assemble_pm_partials(
-        pm, shape, R_cw, t_cw, X, rig, lam, huber, interpret=interpret
+        pm, shape, R_cw, t_cw, X, rig, lam, huber, interpret=interpret,
+        u_dtype=u_dtype,
     )
     A, a = finish_pose_system(flat, lam)
     return A, a, Cb, U

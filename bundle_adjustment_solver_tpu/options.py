@@ -91,6 +91,12 @@ class Options:
     # (full cpp:427, a quirk -- the quadratic model is in squared units);
     # 'squared' uses the robust squared cost.
     cost_metric: str = "reference"
+    # Storage dtype of the Schur coupling blocks U in the point-major
+    # engine. 'bfloat16' halves the matvec's U traffic (useful when DMA-bound
+    # at very large M; it costs a slightly higher convergence floor from the
+    # ~0.4% step perturbation); measured neutral at 200k landmarks on v5e,
+    # so f32 stays the default.
+    coupling_dtype: str = "float32"
     # Use the fused Pallas TPU kernels for the per-iteration statistics
     # (ops/pallas/): ~2.6x over the XLA path on TPU by never materializing
     # Jacobians in HBM. 'never' | 'always' | 'interpret' (CPU debugging).

@@ -197,6 +197,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         flat, Cb, U = K.assemble_pm_partials(
             pm_local, shape, R_cw, t_cw, X, rig, lam_eff, huber,
             interpret=interpret,
+            u_dtype=getattr(opts, "coupling_dtype", "float32"),
         )
         Atri, a = K.finish_pose_system_tri(_psum(flat), lam_eff)
 

@@ -235,11 +235,13 @@ def _solve_pm_jax(
 
     from ..ops.sym6 import inverse_tri6, tri6_matvec
 
+    u_dtype = getattr(opts, "coupling_dtype", "float32")
+
     def body(c: _Carry):
         lam_eff = c.lam if is_lm else jnp.asarray(_GN_LAMBDA, dtype)
         flat, Cb, U = K.assemble_pm_partials(
             pm, shape, c.R_cw, c.t_cw, c.X, rig, lam_eff, huber,
-            interpret=interpret,
+            interpret=interpret, u_dtype=u_dtype,
         )
         Atri, a = K.finish_pose_system_tri(flat, lam_eff)
 
