@@ -53,13 +53,6 @@ COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
 _TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
 
 
-def _onehot(idx, P):
-    """(P, ...) f32 one-hot of integer offsets `idx` (...); out-of-range
-    offsets (including the -1 fixed/padding sentinel) produce all-zeros."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (P,) + idx.shape, 0)
-    return (iota == idx[None]).astype(jnp.float32)
-
-
 def _onehot_flat(idx, P):
     """(P, K*bm) flattened one-hot of (K, bm) offsets -- one wide matmul
     operand instead of K narrow ones (tiny MXU dots are latency-bound:

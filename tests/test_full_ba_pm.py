@@ -211,3 +211,70 @@ def test_layout_bounds_fallback(monkeypatch):
     monkeypatch.setattr(mod, "pm_from_finalized", lambda *a, **k: None)
     with pytest.raises(ValueError):
         mod.solve_pm(problem, shape, Options())
+
+
+def test_irregular_visibility_parity():
+    """Random observation dropout creates irregular per-landmark slot counts
+    (padding exercises the valid masks); PM must match the obs-table engine."""
+    prob = corridor_ba_problem(
+        num_poses=12, num_points=300, window=4, seed=7, num_fixed_poses=2
+    )
+    rng = np.random.default_rng(99)
+    keep = rng.random(prob.obs_camera.shape[0]) > 0.3
+    fixed_pose = np.zeros(12, bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera[keep], prob.obs_pose[keep], prob.obs_point[keep],
+        prob.obs_pixel[keep], fixed_pose_mask=fixed_pose,
+    )
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(10),
+        reduced_system="cg", cg_max_iterations=40, cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, _ = solve_pm(problem, shape, opts)
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+def test_loop_closure_observations():
+    """Long-range (loop-closure-like) observations widen the per-block pose
+    window; the layout must either absorb them (larger P) or return None so
+    full_ba.solve falls back -- never silently drop them."""
+    prob = corridor_ba_problem(
+        num_poses=24, num_points=600, window=4, seed=5, num_fixed_poses=2
+    )
+    # Rewire 2% of observations to a far-away pose (keeps pixels valid-ish;
+    # the solver just needs to process them consistently).
+    rng = np.random.default_rng(3)
+    obs_pose = prob.obs_pose.copy()
+    sel = rng.random(obs_pose.shape[0]) < 0.02
+    obs_pose[sel] = (obs_pose[sel] + 12) % 24
+    fixed_pose = np.zeros(24, bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed_pose,
+    )
+    res = pm_from_finalized(problem, shape, block_points=64)
+    assert res is not None  # 24 poses always fit max_window
+    pm, pshape = res
+    assert pshape.window >= 16
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(5),
+        reduced_system="cg", cg_max_iterations=40, cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, _ = solve_pm(problem, shape, opts, pm_and_shape=res)
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-2,
+    )
