@@ -752,6 +752,47 @@ def solve_stereo_6dof_batched(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_monocular_planar3dof_batched(
+    points, pixels, valid, intrinsics, pose_base_to_camera,
+    poses_world_to_last, poses_world_to_current, options: Options,
+) -> PoseOnlyResult:
+    """vmap of `solve_monocular_planar3dof_jax` over a leading frame axis.
+    The rig extrinsic (base->camera) is shared unless given per frame."""
+    in_axes = (
+        0, 0, 0,
+        0 if intrinsics.ndim == 2 else None,
+        0 if pose_base_to_camera.ndim == 3 else None,
+        0, 0, None,
+    )
+    return jax.vmap(solve_monocular_planar3dof_jax, in_axes=in_axes)(
+        points, pixels, valid, intrinsics, pose_base_to_camera,
+        poses_world_to_last, poses_world_to_current, options,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def solve_stereo_planar3dof_batched(
+    points, pixels_left, pixels_right, valid, intrinsics_left,
+    intrinsics_right, pose_base_to_camera, pose_left_to_right,
+    poses_world_to_last, poses_world_to_current, options: Options,
+) -> PoseOnlyResult:
+    """vmap of `solve_stereo_planar3dof_jax` over a leading frame axis."""
+    in_axes = (
+        0, 0, 0, 0,
+        0 if intrinsics_left.ndim == 2 else None,
+        0 if intrinsics_right.ndim == 2 else None,
+        0 if pose_base_to_camera.ndim == 3 else None,
+        0 if pose_left_to_right.ndim == 3 else None,
+        0, 0, None,
+    )
+    return jax.vmap(solve_stereo_planar3dof_jax, in_axes=in_axes)(
+        points, pixels_left, pixels_right, valid, intrinsics_left,
+        intrinsics_right, pose_base_to_camera, pose_left_to_right,
+        poses_world_to_last, poses_world_to_current, options,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side convenience wrappers (numpy in/out + Summary)
 # ---------------------------------------------------------------------------

@@ -266,3 +266,69 @@ class TestBatched:
             )
             assert rot_err < 2e-3
             assert trans_err < 2e-3
+
+
+class TestPlanarBatched:
+    """Batched planar-3-DoF variants: all four reference modes now have
+    frame-parallel versions (SURVEY.md §2 embarrassingly-parallel solve)."""
+
+    def test_batched_planar_mono_matches_single(self):
+        import jax.numpy as jnp
+
+        tp = TestPlanar3Dof()
+        probs = [tp._make_problem(seed=s) for s in (0, 1, 2)]
+        opts = make_options(max_iter=100)
+        B = len(probs)
+        pts = jnp.asarray(np.stack([p["points"] for p in probs]), jnp.float32)
+        pix = jnp.asarray(np.stack([p["pixels"] for p in probs]), jnp.float32)
+        valid = jnp.ones(pts.shape[:2], bool)
+        intr = jnp.asarray(probs[0]["intrinsics"], jnp.float32)
+        bc = jnp.asarray(probs[0]["base_to_camera"], jnp.float32)
+        T_wl = jnp.asarray(
+            np.stack([p["T_wlast"] for p in probs]), jnp.float32
+        )
+        T_wc0 = jnp.asarray(
+            np.stack([p["T_wc_init"] for p in probs]), jnp.float32
+        )
+        batched = pose_only.solve_monocular_planar3dof_batched(
+            pts, pix, valid, intr, bc, T_wl, T_wc0, opts
+        )
+        assert bool(batched.success.all())
+        for b, p in enumerate(probs):
+            single_pose, _, _, ok = pose_only.solve_monocular_planar3dof(
+                p["points"], p["pixels"], p["intrinsics"],
+                p["base_to_camera"], p["T_wlast"], p["T_wc_init"], opts,
+            )
+            assert ok
+            np.testing.assert_allclose(
+                np.asarray(batched.pose[b]), single_pose, atol=1e-5
+            )
+
+    def test_batched_planar_stereo_recovers_truth(self):
+        import jax.numpy as jnp
+
+        tp = TestPlanar3Dof()
+        probs = [tp._make_problem(stereo=True, seed=s) for s in (3, 4)]
+        opts = make_options(max_iter=100)
+        pts = jnp.asarray(np.stack([p["points"] for p in probs]), jnp.float32)
+        pixl = jnp.asarray(np.stack([p["pixels"] for p in probs]), jnp.float32)
+        pixr = jnp.asarray(
+            np.stack([p["pixels_right"] for p in probs]), jnp.float32
+        )
+        valid = jnp.ones(pts.shape[:2], bool)
+        intr = jnp.asarray(probs[0]["intrinsics"], jnp.float32)
+        bc = jnp.asarray(probs[0]["base_to_camera"], jnp.float32)
+        T_lr = jnp.asarray(probs[0]["T_lr"], jnp.float32)
+        T_wl = jnp.asarray(np.stack([p["T_wlast"] for p in probs]), jnp.float32)
+        T_wc0 = jnp.asarray(
+            np.stack([p["T_wc_init"] for p in probs]), jnp.float32
+        )
+        batched = pose_only.solve_stereo_planar3dof_batched(
+            pts, pixl, pixr, valid, intr, intr, bc, T_lr, T_wl, T_wc0, opts
+        )
+        assert bool(batched.success.all())
+        for b, p in enumerate(probs):
+            err = np.abs(
+                np.asarray(batched.pose[b]) - p["T_wc_true"]
+            ).max()
+            assert err < 1e-3, err
