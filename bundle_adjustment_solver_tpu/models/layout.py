@@ -260,9 +260,10 @@ def build_point_major(
     sspan = int((smax - sbase).max()) + 1 if nblocks else 1
 
     span = max(gspan, sspan, 8)
-    P = 8
-    while P < span:
-        P *= 2
+    # Any multiple of 8 works for the windowed one-hot (the kernels slice
+    # pl.ds(base, P) on the sublane axis); power-of-two is NOT required, and
+    # the one-hot/matmul cost is linear in P.
+    P = max(8, _round_up(span, 8))
     if P > max_window:
         return None
     # Clamp bases so the in-kernel pl.ds(base, P) slice stays in bounds of the
