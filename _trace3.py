@@ -4,7 +4,6 @@ from bundle_adjustment_solver_tpu.models.problem import finalized_from_arrays
 from bundle_adjustment_solver_tpu.solvers import full_ba_pm
 from bundle_adjustment_solver_tpu.options import *
 from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
-
 prob = corridor_ba_problem(num_poses=2000, num_points=200_000, window=6, seed=123)
 fixed = np.zeros(2000, bool); fixed[prob.fixed_pose_ids] = True
 problem, shape, host = finalized_from_arrays(prob.cameras, prob.poses_initial, prob.points_initial,
@@ -20,6 +19,6 @@ def run():
         problem.opt_pose_idx, o, interpret=False)
     return float(out[7])
 run(); run()
-with jax.profiler.trace("/tmp/pmtrace2"):
+with jax.profiler.trace("/tmp/pmtrace3"):
     run()
 print("done")

@@ -23,9 +23,14 @@ an (P, bm)x(bm, k) matmul on the MXU -- the TPU-native analogue of the
 reference's AVX SoA warper (utility/simd_library.cpp:36-137), fused through
 the entire Jacobian/Hessian pipeline instead of stopping at the warp.
 
-All dots use HIGHEST precision (exact f32 on the MXU's f32 passes): one-hot
-operands are exactly representable and the gathered/scattered values must not
-round through bf16.
+Precision strategy for the one-hot MXU dots: the pose-row gather stays
+HIGHEST (exact f32 -- rounding gathered pose values through bf16 costs a
+~50x worse convergence floor, 0.04 px), while the A/a scatter and the whole
+CG-matvec path use hi/lo bf16-pair dots (2 MXU passes, ~2^-16 relative,
+~1.7x faster end-to-end): Hessian/gradient panels and the CG operator
+tolerate a 1e-5 relative perturbation because LM's costs are evaluated
+exactly and the gradient error stays relative as it vanishes at the
+optimum.
 
 Symmetric 3x3 component order: [xx, xy, xz, yy, yz, zz] (diag at 0, 3, 5).
 U (pose 6 x point 3) component order: row-major e = a * 3 + c.
@@ -87,6 +92,36 @@ def _scatter_panel(oh, contrib):
         (((1,), (1,)), ((), ())),
         precision=_HI,
         preferred_element_type=jnp.float32,
+    )
+
+
+def _split_hilo(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == x to ~2^-16 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _gather_rows_hilo(tbl_win, oh_bf, width):
+    """hi/lo-split gather: 2 bf16 MXU passes instead of HIGHEST's 3+,
+    exact to ~2^-16 relative (one-hot is exactly representable in bf16).
+    Used on the CG matvec path where a 1e-5 operator perturbation is far
+    below the block-Jacobi PCG's convergence floor."""
+    hi, lo = _split_hilo(tbl_win)
+    dn = (((0,), (0,)), ((), ()))
+    return (
+        jax.lax.dot_general(hi, oh_bf, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(lo, oh_bf, dn, preferred_element_type=jnp.float32)
+    )
+
+
+def _scatter_panel_hilo(oh_bf, contrib):
+    """hi/lo-split scatter (see _gather_rows_hilo)."""
+    hi, lo = _split_hilo(contrib)
+    dn = (((1,), (1,)), ((), ()))
+    return (
+        jax.lax.dot_general(oh_bf, hi, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(oh_bf, lo, dn, preferred_element_type=jnp.float32)
     )
 
 
@@ -219,7 +254,7 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     # Windowed one-hot gather of pose rows: one wide MXU dot for all slots.
     tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]  # (P, 16)
     idx_g = spose_ref[:] - gbase  # (Kp, bm)
-    ohg = _onehot_flat(idx_g, P)  # (P, Kp*bm)
+    ohg = _onehot_flat(idx_g, P)  # pose values must stay exact f32
     g = _gather_rows(tbl_win, ohg, 16).reshape(16, Kp, bm)
 
     X_blk = X_ref[:]  # (4, bm)
@@ -290,14 +325,14 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
 
     # Pose-system panel: one windowed one-hot MXU scatter for all slots.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
-    ohs = _onehot_flat(idx_s, P)  # (P, Kp*bm)
+    ohs = _onehot_flat(idx_s, P).astype(jnp.bfloat16)
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
         + [jnp.zeros((A_COLS - 27, Kp * bm), jnp.float32)],
         axis=0,
     )  # (A_COLS, Kp*bm)
-    Apan_ref[0] = _scatter_panel(ohs, contrib)
+    Apan_ref[0] = _scatter_panel_hilo(ohs, contrib)
 
 
 def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
@@ -308,7 +343,7 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     x_win = x_tbl_ref[pl.ds(sbase, P), :]  # (P, 8)
     idx_s = sopt_ref[:] - sbase  # (Kp, bm)
 
-    ohs = _onehot_flat(idx_s, P)  # (P, Kp*bm)
+    ohs = _onehot_flat(idx_s, P).astype(jnp.bfloat16)  # exactly 0/1 in bf16
 
     # Full-sublane (Kp, bm) planes, upcast once from the storage dtype.
     U = [U_ref[e].astype(jnp.float32) for e in range(18)]
@@ -321,7 +356,7 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         # Gather x at every slot's pose in one wide dot (fixed slots gather
         # zeros), then t = sum_slots U^T x (pass 1 of the S matvec); all
         # element math runs on full-sublane (Kp, bm) planes.
-        xg_all = _gather_rows(x_win, ohs, 8).reshape(8, Kp, bm)
+        xg_all = _gather_rows_hilo(x_win, ohs, 8).reshape(8, Kp, bm)
         t = []
         for cpt in range(3):
             acc = U[cpt] * xg_all[0]
@@ -347,7 +382,7 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         rows.append(row.reshape(1, Kp * bm))
     rows.append(jnp.zeros((2, Kp * bm), jnp.float32))
     contrib = jnp.concatenate(rows, axis=0)  # (8, Kp*bm)
-    out_pan_ref[0] = _scatter_panel(ohs, contrib)
+    out_pan_ref[0] = _scatter_panel_hilo(ohs, contrib)
 
 
 def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
@@ -359,7 +394,7 @@ def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
 
     tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]
     idx_g = spose_ref[:] - gbase
-    ohg = _onehot_flat(idx_g, P)
+    ohg = _onehot_flat(idx_g, P)  # pose values must stay exact f32
     g = _gather_rows(tbl_win, ohg, 16).reshape(16, Kp, bm)
 
     per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
