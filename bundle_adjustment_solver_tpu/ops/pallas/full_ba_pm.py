@@ -7,7 +7,7 @@ Three kernels over the point-major layout (models/layout.py):
     weight -> analytic Jacobians -> damped point blocks C/b/Cinv (free
     axis reductions) + per-slot coupling blocks U + pose-system partials
     (A, a) scattered through a windowed one-hot MXU matmul into per-block
-    (P, 32) panels (finished by a tiny second-level segment-sum in XLA).
+    (P, 40) panels (finished by a tiny second-level segment-sum in XLA).
   * `schur_matvec_pm` -- the S @ x product for block-PCG: windowed one-hot
     gather of x, per-lane U^T x -> t, v = Cinv t, U v, windowed one-hot
     scatter back to (P, 8) panels; also emits t for back-substitution.
@@ -35,7 +35,8 @@ optimum.
 Symmetric 3x3 component order: [xx, xy, xz, yy, yz, zz] (diag at 0, 3, 5).
 U (pose 6 x point 3) component order: row-major e = a * 3 + c.
 Cb plane rows: [0:6) damped C, [6:9) b, [9:15) Cinv, 15 slot-use count.
-A-panel columns: [0:21) upper-tri A, [21:27) a, rest zero-padding.
+A-panel columns: [0:21) upper-tri A, [21:27) a, [27:33) B Cinv b (the
+reduced-rhs correction, fused into the assembly scatter), rest padding.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ from ...models.layout import PMShape, PointMajorProblem
 
 _HI = jax.lax.Precision.HIGHEST
 
-A_COLS = 32  # 21 upper-tri A + 6 a, padded
+A_COLS = 40  # 21 upper-tri A + 6 gradient a + 6 rhs-corr (B Cinv b), padded
 COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
 
 # Upper-triangle (a <= b) index pairs for the 6x6 pose block, row-major.
@@ -323,13 +324,30 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     for e in range(18):
         U_ref[e] = (Ue[e] * pmask).astype(U_ref.dtype)
 
+    # Reduced-rhs correction B Cinv b, fused here where U and Cinv b are
+    # already in registers (saves a separate kernel + U re-read per LM
+    # iteration). v = Cinv (b * pmask); w_slot = U v per slot.
+    b0 = bvec[0] * pmask
+    b1 = bvec[1] * pmask
+    b2_ = bvec[2] * pmask
+    v0 = Cinv[0] * b0 + Cinv[1] * b1 + Cinv[2] * b2_
+    v1 = Cinv[1] * b0 + Cinv[3] * b1 + Cinv[4] * b2_
+    v2 = Cinv[2] * b0 + Cinv[4] * b1 + Cinv[5] * b2_
+    Um = [Ue[e] * pmask for e in range(18)]
+    rhs_rows = [
+        Um[a_ * 3] * v0 + Um[a_ * 3 + 1] * v1 + Um[a_ * 3 + 2] * v2
+        for a_ in range(6)
+    ]
+
     # Pose-system panel: one windowed one-hot MXU scatter for all slots.
+    # Columns [0:21) upper-tri A, [21:27) gradient a, [27:33) B Cinv b.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
     ohs = _onehot_flat(idx_s, P).astype(jnp.bfloat16)
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
-        + [jnp.zeros((A_COLS - 27, Kp * bm), jnp.float32)],
+        + [rhs_rows[a_].reshape(1, Kp * bm) for a_ in range(6)]
+        + [jnp.zeros((A_COLS - 33, Kp * bm), jnp.float32)],
         axis=0,
     )  # (A_COLS, Kp*bm)
     Apan_ref[0] = _scatter_panel_hilo(ohs, contrib)
@@ -541,21 +559,24 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
 
 
 def finish_pose_system_tri(flat, lam):
-    """Flat pose-system partials -> (damped Atri (n_opt, 21), a (n_opt, 6)),
-    staying in the flat layout (see ops/sym6.py -- materializing (n, 6, 6)
-    costs ~7.5 ms/iteration in dynamic-update-slices on v5e). In distributed
-    mode, psum `flat` over the data axis first."""
+    """Flat pose-system partials -> (damped Atri (n_opt, 21), a (n_opt, 6),
+    rhs (n_opt, 6) = a - B Cinv b), staying in the flat layout (see
+    ops/sym6.py -- materializing (n, 6, 6) costs ~7.5 ms/iteration in
+    dynamic-update-slices on v5e). In distributed mode, psum `flat` over the
+    data axis first."""
     from ...ops.sym6 import tri6_damp
 
     # (1 + lambda) diagonal damping on the pose blocks (cpp:838-846).
-    return tri6_damp(flat[:, :21], lam), flat[:, 21:27]
+    a = flat[:, 21:27]
+    rhs = a - flat[:, 27:33]
+    return tri6_damp(flat[:, :21], lam), a, rhs
 
 
 def finish_pose_system(flat, lam):
     """Flat pose-system partials -> (damped A (n_opt, 6, 6), a (n_opt, 6)).
     Materialized form, for parity tests and external consumers; the solvers
     use finish_pose_system_tri."""
-    Atri, a = finish_pose_system_tri(flat, lam)
+    Atri, a, _ = finish_pose_system_tri(flat, lam)
     return _tri_to_full(Atri), a
 
 

@@ -164,30 +164,32 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         z0 = apply_precond(rhs)
         rz0 = jnp.sum(rhs * z0)
         rhs_sq = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
+        t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
 
         def cond(state):
-            _, r, _, _, rz, it = state
+            _, r, _, _, rz, _, it = state
             return jnp.logical_and(
                 it < opts.cg_max_iterations,
                 jnp.sum(r * r) > opts.cg_tolerance * rhs_sq,
             )
 
         def body(state):
-            x, r, z, p, rz, it = state
-            Sp, _ = matvec(p)
+            x, r, z, p, rz, t_acc, it = state
+            Sp, tp = matvec(p)
             alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-30)
             x = x + alpha * p
+            # t = B^T x is linear in x: accumulate (t is shard-local).
+            t_acc = t_acc + alpha * tp
             r = r - alpha * Sp
             z = apply_precond(r)
             rz_new = jnp.sum(r * z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p
-            return (x, r, z, p, rz_new, it + 1)
+            return (x, r, z, p, rz_new, t_acc, it + 1)
 
-        x, _, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (x0, rhs, z0, z0, rz0, jnp.asarray(0, jnp.int32))
+        x, _, _, _, _, t, _ = jax.lax.while_loop(
+            cond, body, (x0, rhs, z0, z0, rz0, t0, jnp.asarray(0, jnp.int32))
         )
-        _, t = matvec(x)
         return x, t
 
     def body(c):
@@ -199,7 +201,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             interpret=interpret,
             u_dtype=getattr(opts, "coupling_dtype", "float32"),
         )
-        Atri, a = K.finish_pose_system_tri(_psum(flat), lam_eff)
+        Atri, a, rhs = K.finish_pose_system_tri(_psum(flat), lam_eff)
 
         if is_gd:
             def clip_blocks(g, clip):
@@ -209,9 +211,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             x = clip_blocks(a.T, opts.gd_step_clip).T
             y = clip_blocks(Cb[6:9], opts.gd_step_clip)
         else:
-            rhs = a - _psum(
-                K.rhs_corr_pm(pm_local, shape, Cb, U, interpret=interpret)
-            )
+            # rhs = a - B Cinv b arrives fused from the (psum'd) assembly.
             x, t = pcg(Cb, U, Atri, rhs)
             y = _apply_cinv(Cb, t)
 

@@ -172,29 +172,32 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     z0 = apply_precond(r0)
     rz0 = jnp.sum(r0 * z0)
     rhs_sq = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
+    t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
 
     def cond(state):
-        _, r, _, _, rz, it = state
+        _, r, _, _, rz, _, it = state
         return jnp.logical_and(
             it < max_iter, jnp.sum(r * r) > tol * rhs_sq
         )
 
     def body(state):
-        x, r, z, p, rz, it = state
-        Sp, _ = matvec(p)
+        x, r, z, p, rz, t_acc, it = state
+        Sp, tp = matvec(p)
         alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-30)
         x = x + alpha * p
+        # t = B^T x is linear in x: accumulate alongside so no extra matvec
+        # is needed for the back-substitution at the final x.
+        t_acc = t_acc + alpha * tp
         r = r - alpha * Sp
         z = apply_precond(r)
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        return (x, r, z, p, rz_new, t_acc, it + 1)
 
-    x, _, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
+    x, _, _, _, _, t, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, t0, jnp.asarray(0, jnp.int32))
     )
-    _, t = matvec(x)
     return x, t
 
 
@@ -243,7 +246,7 @@ def _solve_pm_jax(
             pm, shape, c.R_cw, c.t_cw, c.X, rig, lam_eff, huber,
             interpret=interpret, u_dtype=u_dtype,
         )
-        Atri, a = K.finish_pose_system_tri(flat, lam_eff)
+        Atri, a, rhs = K.finish_pose_system_tri(flat, lam_eff)
 
         if is_gd:
             def clip_blocks(g, clip):
@@ -254,7 +257,7 @@ def _solve_pm_jax(
             b_planes = Cb[6:9]
             y = clip_blocks(b_planes, opts.gd_step_clip)  # (3, Mp)
         else:
-            rhs = a - K.rhs_corr_pm(pm, shape, Cb, U, interpret=interpret)
+            # rhs = a - B Cinv b arrives fused from the assembly kernel.
             precond_tri = inverse_tri6(Atri)
             x, t = _block_pcg_pm(
                 pm, shape, Atri, Cb, U, rhs, precond_tri,
