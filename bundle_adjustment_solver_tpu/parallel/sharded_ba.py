@@ -434,6 +434,8 @@ def _device_program(
         X_cand = X_pad[:m_local]
 
         current_cost = eval_cost(R_cand, t_cand, X_cand)
+        # NaN/inf guard (see solvers/full_ba.py).
+        cost_ok = jnp.isfinite(current_cost)
 
         if is_lm:
             # Quadratic model decrease (damped blocks): pose terms replicated,
@@ -448,8 +450,8 @@ def _device_program(
             )
             model_decrease = -(term_pose + term_point)
             rho = (current_cost - prev_cost) * inv_scale / model_decrease
-            accept = rho > tr.threshold_update
-            trust_more = rho > tr.threshold_trust_more
+            accept = jnp.logical_and(rho > tr.threshold_update, cost_ok)
+            trust_more = jnp.logical_and(rho > tr.threshold_trust_more, cost_ok)
             lam_new = jnp.where(
                 trust_more,
                 jnp.maximum(tr.min_lambda, lam * tr.decrease_ratio_lambda),
@@ -469,7 +471,7 @@ def _device_program(
                 ),
             )
         else:
-            accept = jnp.asarray(True)
+            accept = cost_ok
             lam_new = lam
             status = jnp.asarray(float(int(IterationStatus.UPDATE)), dtype)
 
@@ -505,7 +507,7 @@ def _device_program(
             t_next,
             X_next,
             lam_new,
-            current_cost,
+            jnp.where(cost_ok, current_cost, prev_cost),
             it + 1,
             jnp.logical_or(conv_now, at_last),
             converged,

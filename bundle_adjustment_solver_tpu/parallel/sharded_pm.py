@@ -224,6 +224,8 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         X_cand = X.at[:3].add(y * X[3:4])
 
         current_cost = eval_cost(R_cand, t_cand, X_cand)
+        # NaN/inf guard (see solvers/full_ba.py).
+        cost_ok = jnp.isfinite(current_cost)
 
         if is_lm:
             term_pose = jnp.sum(a * x) + jnp.sum(x * tri6_matvec(Atri, x))
@@ -235,8 +237,8 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             )
             model_decrease = -(term_pose + term_point)
             rho = (current_cost - prev_cost) * inv_scale / model_decrease
-            accept = rho > tr.threshold_update
-            trust_more = rho > tr.threshold_trust_more
+            accept = jnp.logical_and(rho > tr.threshold_update, cost_ok)
+            trust_more = jnp.logical_and(rho > tr.threshold_trust_more, cost_ok)
             lam_new = jnp.where(
                 trust_more,
                 jnp.maximum(tr.min_lambda, lam * tr.decrease_ratio_lambda),
@@ -256,7 +258,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
                 ),
             )
         else:
-            accept = jnp.asarray(True)
+            accept = cost_ok
             lam_new = lam
             status = jnp.asarray(float(int(IterationStatus.UPDATE)), dtype)
 
@@ -290,7 +292,8 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         row = row.at[INFO_STATUS].set(status)
 
         return (
-            R_next, t_next, X_next, lam_new, current_cost, it + 1,
+            R_next, t_next, X_next, lam_new,
+            jnp.where(cost_ok, current_cost, prev_cost), it + 1,
             jnp.logical_or(conv_now, at_last), converged,
             info.at[it].set(row), num_info + 1,
         )

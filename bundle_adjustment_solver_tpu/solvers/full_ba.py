@@ -272,14 +272,20 @@ def _solve_jax(
 
         R_cand, t_cand, X_cand = _apply_step(problem, c.R_cw, c.t_cw, c.X, x, y)
         current_cost = eval_cost(R_cand, t_cand, X_cand)
+        # NaN/inf guard: a divergent candidate (e.g. a landmark crossing the
+        # camera plane) must be rejected AND must not poison prev_cost -- the
+        # reference overwrites previous_cost unconditionally (cpp:1005),
+        # which permanently corrupts rho once a non-finite cost appears; we
+        # keep that quirk only for finite candidates.
+        cost_ok = jnp.isfinite(current_cost)
 
         if is_lm:
             model_decrease = _model_decrease(sys, problem, shape, x, y)
             rho = (
                 (current_cost - c.prev_cost) * inv_scale / model_decrease
             )
-            accept = rho > tr.threshold_update
-            trust_more = rho > tr.threshold_trust_more
+            accept = jnp.logical_and(rho > tr.threshold_update, cost_ok)
+            trust_more = jnp.logical_and(rho > tr.threshold_trust_more, cost_ok)
             lam_new = jnp.where(
                 trust_more,
                 jnp.maximum(tr.min_lambda, c.lam * tr.decrease_ratio_lambda),
@@ -299,7 +305,7 @@ def _solve_jax(
                 ),
             )
         else:
-            accept = jnp.asarray(True)
+            accept = cost_ok
             lam_new = c.lam
             status = jnp.asarray(float(int(IterationStatus.UPDATE)), dtype)
 
@@ -339,7 +345,8 @@ def _solve_jax(
             t_cw=t_next,
             X=X_next,
             lam=lam_new,
-            prev_cost=current_cost,  # unconditional, even on SKIP (cpp:1005)
+            # Unconditional even on SKIP (cpp:1005) -- unless non-finite.
+            prev_cost=jnp.where(cost_ok, current_cost, c.prev_cost),
             it=c.it + 1,
             done=jnp.logical_or(conv_now, at_last),
             converged=converged,

@@ -275,6 +275,9 @@ def _solve_pm_jax(
         X_cand = c.X.at[:3].add(y * c.X[3:4])
 
         current_cost = eval_cost(R_cand, t_cand, X_cand)
+        # NaN/inf guard (see solvers/full_ba.py): reject non-finite
+        # candidates without poisoning prev_cost.
+        cost_ok = jnp.isfinite(current_cost)
 
         if is_lm:
             # Quadratic-model decrease without an extra observation pass:
@@ -286,8 +289,8 @@ def _solve_pm_jax(
             cross = 2.0 * jnp.sum(y * (b_pl - Cy))
             model_decrease = -(term_pose + term_point + cross)
             rho = (current_cost - c.prev_cost) * inv_scale / model_decrease
-            accept = rho > tr.threshold_update
-            trust_more = rho > tr.threshold_trust_more
+            accept = jnp.logical_and(rho > tr.threshold_update, cost_ok)
+            trust_more = jnp.logical_and(rho > tr.threshold_trust_more, cost_ok)
             lam_new = jnp.where(
                 trust_more,
                 jnp.maximum(tr.min_lambda, c.lam * tr.decrease_ratio_lambda),
@@ -307,7 +310,7 @@ def _solve_pm_jax(
                 ),
             )
         else:
-            accept = jnp.asarray(True)
+            accept = cost_ok
             lam_new = c.lam
             status = jnp.asarray(float(int(IterationStatus.UPDATE)), dtype)
 
@@ -348,7 +351,7 @@ def _solve_pm_jax(
             t_cw=t_next,
             X=X_next,
             lam=lam_new,
-            prev_cost=current_cost,
+            prev_cost=jnp.where(cost_ok, current_cost, c.prev_cost),
             it=c.it + 1,
             done=jnp.logical_or(conv_now, at_last),
             converged=converged,
