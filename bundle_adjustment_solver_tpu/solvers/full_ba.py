@@ -149,6 +149,14 @@ def _reduced_solve(sys, problem, shape: ProblemShape, options: Options, mode: st
             shape.num_opt_points,
         )
         S, rhs = H.schur_reduce_dense(sys, B)
+        # The reference's S.ldlt() (cpp:905) tolerates a PSD-singular reduced
+        # system (gauge-free directions survive the multiplicative (1 +
+        # lambda) damping at the GN lambda of 1e-5); Cholesky does not, so
+        # add an absolute Tikhonov floor of 1e-6 x mean diagonal --
+        # negligible against LM's lambda, rescues plain Gauss-Newton.
+        n6 = S.shape[0]
+        jitter = 1e-6 * (jnp.trace(S) / n6)
+        S = S + jitter * jnp.eye(n6, dtype=S.dtype)
         x = jax.scipy.linalg.cho_solve(
             jax.scipy.linalg.cho_factor(S), rhs
         ).reshape(shape.num_opt_poses, 6)

@@ -280,3 +280,26 @@ def test_loop_closure_observations():
         float(state_pm.final_cost), float(state_ref.final_cost),
         rtol=1e-2, atol=1e-2,
     )
+
+
+@pytest.mark.parametrize("reduced_system", ["cg", "dense"])
+def test_solve_pm_gauss_newton(reduced_system):
+    """GN (fixed 1e-5 damping) through both reference-path reduced solves;
+    the dense path needs the Tikhonov floor (the reduced system is
+    PSD-singular at GN damping -- the reference's LDLT tolerated that)."""
+    problem, shape = _small_problem()
+    opts = Options(
+        solver_type=SolverType.GAUSS_NEWTON,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(8),
+        reduced_system=reduced_system,
+        cg_max_iterations=40,
+        cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, _ = solve_pm(problem, shape, opts)
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-3,
+    )
+    assert float(state_pm.final_rmse_px) < 1e-2
