@@ -30,6 +30,11 @@ def main() -> int:
     parser.add_argument("--window", type=int, default=6)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--device-counts", type=int, nargs="*", default=None)
+    parser.add_argument(
+        "--impl", choices=["cg", "pm"], default="cg",
+        help="'cg' = observation-table shard_map engine; 'pm' = point-major "
+        "Pallas engine (use on real TPU meshes -- interpret mode on CPU)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -47,6 +52,9 @@ def main() -> int:
     from bundle_adjustment_solver_tpu.parallel.sharded_ba import (
         _solve_sharded_jax,
         shard_problem,
+    )
+    from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
+        solve_sharded_pm,
     )
     from bundle_adjustment_solver_tpu.utils.synthetic import (
         corridor_ba_problem,
@@ -81,15 +89,26 @@ def main() -> int:
     counts = sorted({c for c in counts if c <= len(jax.devices())})
     results = []
     for n_dev in counts:
-        sharded, sshape = shard_problem(problem, shape, n_dev)
-        state = jax.block_until_ready(
-            _solve_sharded_jax(sharded, sshape, options)
-        )  # compile + warm
-        t0 = time.perf_counter()
-        state = jax.block_until_ready(
-            _solve_sharded_jax(sharded, sshape, options)
-        )
-        dt = time.perf_counter() - t0
+        if args.impl == "pm":
+            def run_pm():
+                state, _ = solve_sharded_pm(
+                    problem, shape, options, num_shards=n_dev
+                )
+                return state
+            state = run_pm()  # compile + warm (layout rebuilt per count)
+            t0 = time.perf_counter()
+            state = run_pm()
+            dt = time.perf_counter() - t0
+        else:
+            sharded, sshape = shard_problem(problem, shape, n_dev)
+            state = jax.block_until_ready(
+                _solve_sharded_jax(sharded, sshape, options)
+            )  # compile + warm
+            t0 = time.perf_counter()
+            state = jax.block_until_ready(
+                _solve_sharded_jax(sharded, sshape, options)
+            )
+            dt = time.perf_counter() - t0
         results.append((n_dev, dt, float(state.final_cost)))
 
     base_n, base_t, _ = results[0]
