@@ -9,7 +9,6 @@ each routine replaces in the reference.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading

@@ -303,3 +303,54 @@ def test_solve_pm_gauss_newton(reduced_system):
         rtol=1e-2, atol=1e-3,
     )
     assert float(state_pm.final_rmse_px) < 1e-2
+
+
+def test_trinocular_rig():
+    """Rigs beyond stereo: 3 cameras through both engines (the reference's
+    _BA_Camera list is arbitrary-K too, full_bundle_adjustment_solver.h:92)."""
+    from bundle_adjustment_solver_tpu.models.camera import Camera
+
+    prob = corridor_ba_problem(
+        num_poses=10, num_points=200, window=3, seed=13, num_fixed_poses=2
+    )
+    # Add a third camera: offset down by 10 cm; synthesize its observations
+    # by shifting the left camera's pixels with the known geometry is
+    # overkill -- instead just re-project through the true poses.
+    third = Camera(525.0, 525.0, 320.0, 240.0, np.eye(3),
+                   np.array([0.0, -0.10, 0.0]))
+    cameras = list(prob.cameras) + [third]
+    T_cw = np.linalg.inv(prob.poses_true)  # (N, 4, 4) world->cam0
+    sel = prob.obs_camera == 0  # reuse cam0's visibility
+    j = prob.obs_pose[sel]
+    i = prob.obs_point[sel]
+    Xc0 = np.einsum("oab,ob->oa", T_cw[j, :3, :3], prob.points_true[i]) + T_cw[j, :3, 3]
+    Xc2 = Xc0 + third.t_cam_from_ref
+    pix2 = np.stack([
+        525.0 * Xc2[:, 0] / Xc2[:, 2] + 320.0,
+        525.0 * Xc2[:, 1] / Xc2[:, 2] + 240.0,
+    ], axis=-1)
+    obs_cam = np.concatenate([prob.obs_camera, np.full(j.shape[0], 2)])
+    obs_pose = np.concatenate([prob.obs_pose, j])
+    obs_point = np.concatenate([prob.obs_point, i])
+    obs_pixel = np.concatenate([prob.obs_pixel, pix2])
+
+    fixed_pose = np.zeros(10, bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        cameras, prob.poses_initial, prob.points_initial,
+        obs_cam, obs_pose, obs_point, obs_pixel, fixed_pose_mask=fixed_pose,
+    )
+    assert shape.num_cameras == 3
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(12),
+        reduced_system="cg", cg_max_iterations=40, cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, _ = solve_pm(problem, shape, opts)
+    assert float(state_pm.final_rmse_px) < 1e-2
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-2,
+    )
