@@ -85,16 +85,17 @@ def finalized_from_arrays(
     dtype=jnp.float32,
     return_host: bool = False,
 ):
-    """See below; with ``return_host=True`` also returns the host-side numpy
-    arrays (sorted observation table + scaled points + opt-index maps) so
-    layout builders (models/layout.py) never read device arrays back through
-    a potentially slow device tunnel."""
     """Vectorized bulk construction of a finalized problem.
 
     The builder below mirrors the reference's one-at-a-time registration
     (AddObservation per pixel, test_ba.cpp:254-274); at millions of
     observations that is a Python-loop bottleneck the reference never faced
     (its max workload is 300k). This is the array-native fast path.
+
+    With ``return_host=True`` also returns the host-side numpy arrays
+    (sorted observation table + scaled points + opt-index maps) so layout
+    builders (models/layout.py) never read device arrays back through a
+    potentially slow device tunnel.
     """
     N = poses_world_to_camera.shape[0]
     M = points.shape[0]
@@ -208,6 +209,7 @@ class FullBundleAdjustmentSolver:
         self._shape: ProblemShape | None = None
         self._pose_ids: list = []
         self._point_ids: list = []
+        self._host: dict | None = None
         self._solved_poses: np.ndarray | None = None
         self._solved_points: np.ndarray | None = None
 
@@ -383,6 +385,18 @@ class FullBundleAdjustmentSolver:
             num_cameras=len(self._cameras),
             scale=scale,
         )
+        # Host-side copies for layout builders (device readback through a
+        # TPU tunnel is far slower than the build itself; see
+        # finalized_from_arrays(return_host=True)).
+        self._host = dict(
+            obs_pose=obs_pose,
+            obs_point=obs_point,
+            obs_cam=obs_cam,
+            obs_pixel=obs_pixel,
+            points=points,
+            pose_opt_of=pose_opt_of,
+            point_is_opt=point_opt_of < m_opt,
+        )
         self._finalized, self._shape = finalized, shape
         return finalized, shape
 
@@ -398,7 +412,9 @@ class FullBundleAdjustmentSolver:
         from ..solvers import full_ba  # local import to avoid cycle
 
         problem, shape = self.finalize()
-        result, out_summary = full_ba.solve(problem, shape, options)
+        result, out_summary = full_ba.solve(
+            problem, shape, options, host=self._host
+        )
         self._solved_poses = np.asarray(result.poses_world_to_camera)
         self._solved_points = np.asarray(result.points)
         if summary is not None and hasattr(summary, "__dict__"):

@@ -410,15 +410,19 @@ def _solve_jax(
 
 
 def solve(
-    problem: FinalizedProblem, shape: ProblemShape, options: Options
+    problem: FinalizedProblem, shape: ProblemShape, options: Options,
+    host: dict | None = None,
 ) -> tuple[FullBAState, Summary]:
-    """Host entry point: jit-solve + host-side Summary (timings in ms)."""
+    """Host entry point: jit-solve + host-side Summary (timings in ms).
+
+    `host` (from finalized_from_arrays(return_host=True) or the builder's
+    finalize()) lets the point-major layout build avoid device readback."""
     mode = _resolve_mode(shape, options)
     if mode == "pm":
         from . import full_ba_pm  # local import to avoid cycle
 
         try:
-            return full_ba_pm.solve_pm(problem, shape, options)
+            return full_ba_pm.solve_pm(problem, shape, options, host=host)
         except ValueError:
             mode = "cg"  # exceeds point-major static bounds
     t0 = time.perf_counter()

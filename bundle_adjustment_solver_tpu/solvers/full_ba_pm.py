@@ -402,6 +402,7 @@ def solve_pm(
     options: Options,
     pm_and_shape=None,
     interpret: bool | None = None,
+    host: dict | None = None,
 ) -> tuple[FullBAState, Summary]:
     """Host entry point mirroring full_ba.solve on the point-major engine.
 
@@ -410,7 +411,7 @@ def solve_pm(
     problem does not fit the layout's static bounds.
     """
     if pm_and_shape is None:
-        pm_and_shape = pm_from_finalized(problem, shape)
+        pm_and_shape = pm_from_finalized(problem, shape, host=host)
     if pm_and_shape is None:
         raise ValueError(
             "problem exceeds point-major static bounds; use full_ba.solve"
