@@ -59,15 +59,15 @@ COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
 _TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
 
 
-def _onehot_flat(idx, P):
+def _onehot_flat(idx, P, dtype=jnp.float32):
     """(P, K*bm) flattened one-hot of (K, bm) offsets -- one wide matmul
     operand instead of K narrow ones (tiny MXU dots are latency-bound:
     batching K=8 (P, bm) dots into one (P, K*bm) dot cut the matvec kernel
-    ~2x on v5e)."""
+    ~2x on v5e). 0/1 are exact in any float dtype."""
     K, bm = idx.shape
     flat = idx.reshape(1, K * bm)
     iota = jax.lax.broadcasted_iota(jnp.int32, (P, K * bm), 0)
-    return (iota == flat).astype(jnp.float32)
+    return (iota == flat).astype(dtype)
 
 
 def _gather_rows(tbl_win, oh, width):
@@ -342,7 +342,7 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     # Pose-system panel: one windowed one-hot MXU scatter for all slots.
     # Columns [0:21) upper-tri A, [21:27) gradient a, [27:33) B Cinv b.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
-    ohs = _onehot_flat(idx_s, P).astype(jnp.bfloat16)
+    ohs = _onehot_flat(idx_s, P, jnp.bfloat16)
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
@@ -361,7 +361,7 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     x_win = x_tbl_ref[pl.ds(sbase, P), :]  # (P, 8)
     idx_s = sopt_ref[:] - sbase  # (Kp, bm)
 
-    ohs = _onehot_flat(idx_s, P).astype(jnp.bfloat16)  # exactly 0/1 in bf16
+    ohs = _onehot_flat(idx_s, P, jnp.bfloat16)  # exactly 0/1 in bf16
 
     # Full-sublane (Kp, bm) planes, upcast once from the storage dtype.
     U = [U_ref[e].astype(jnp.float32) for e in range(18)]
