@@ -105,10 +105,11 @@ def build_point_major(
     obs_cam: np.ndarray,  # (O,) int32 rig camera index
     obs_pixel: np.ndarray,  # (O, 2) scale-conditioned pixels
     points: np.ndarray,  # (M, 3) scale-conditioned landmark positions
-    pose_opt_of: np.ndarray,  # (N,) int32: opt index or n_opt for fixed
+    pose_opt_of: np.ndarray,  # (N,) int32: opt index or num_opt_poses (fixed)
     point_is_opt: np.ndarray,  # (M,) bool
     num_cameras: int,
     scale: float,
+    num_opt_poses: int | None = None,
     block_points: int = 256,
     max_slots: int = 32,
     max_window: int = 2048,
@@ -123,11 +124,16 @@ def build_point_major(
     O = int(obs_pose.shape[0])
     M = int(points.shape[0])
     N = int(pose_opt_of.shape[0])
-    # problem.py's sentinel convention: fixed poses carry the value n_opt, so
-    # n_opt is the count of distinct non-sentinel values (== N when nothing is
-    # fixed, == the sentinel value otherwise).
-    uniq = np.unique(pose_opt_of)
-    n_opt = N if uniq.size == N else int(uniq[-1])
+    if num_opt_poses is not None:
+        n_opt = int(num_opt_poses)
+    else:
+        # Fall back to inferring from the sentinel convention (fixed poses
+        # carry the value n_opt). NOTE: ambiguous when exactly one pose is
+        # fixed (values 0..N-1 either way) -- callers should pass
+        # num_opt_poses explicitly; assume the max value is the sentinel
+        # only when it appears more than once or leaves a gap.
+        uniq = np.unique(pose_opt_of)
+        n_opt = N if uniq.size == N else int(uniq[-1])
 
     C = int(num_cameras)
 

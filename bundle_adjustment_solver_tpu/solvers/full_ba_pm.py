@@ -119,6 +119,7 @@ def pm_from_finalized(
         host["point_is_opt"],
         shape.num_cameras,
         shape.scale,
+        num_opt_poses=shape.num_opt_poses,
         block_points=block_points,
         max_slots=max_slots,
         max_window=max_window,

@@ -354,3 +354,36 @@ def test_trinocular_rig():
         float(state_pm.final_cost), float(state_ref.final_cost),
         rtol=1e-2, atol=1e-2,
     )
+
+
+def test_single_fixed_pose():
+    """Regression: with exactly ONE fixed pose the sentinel convention is
+    ambiguous from values alone (0..N-1 either way); the layout must take
+    num_opt_poses from the shape, not infer it (found by
+    tools/stress_parity.py -- the inferred n_opt was off by one and the
+    step application crashed on a shape mismatch)."""
+    prob = corridor_ba_problem(
+        num_poses=12, num_points=300, window=4, seed=7, num_fixed_poses=1
+    )
+    fixed = np.zeros(12, bool)
+    fixed[prob.fixed_pose_ids] = True
+    assert fixed.sum() == 1
+    problem, shape = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed,
+    )
+    pm, pshape = pm_from_finalized(problem, shape, block_points=64)
+    assert pshape.num_opt_poses == shape.num_opt_poses == 11
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(10),
+        reduced_system="cg", cg_max_iterations=40, cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, _ = solve_pm(problem, shape, opts)
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-3,
+    )
