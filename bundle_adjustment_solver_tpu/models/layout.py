@@ -137,6 +137,19 @@ def build_point_major(
 
     C = int(num_cameras)
 
+    # Duplicate (landmark, pose, camera) observations are two residuals in
+    # the observation-table engines (and in the reference, which appends on
+    # AddObservation), but the point-major planes have exactly one cell per
+    # (slot, camera) -- a duplicate would silently overwrite its sibling and
+    # change the problem. Fall back to the observation-table path instead.
+    triple = (
+        obs_point.astype(np.int64) * (N * C)
+        + obs_pose.astype(np.int64) * C
+        + obs_cam.astype(np.int64)
+    )
+    if np.unique(triple).size != O:
+        return None
+
     from ..utils.native import pm_fill, pm_probe
 
     filled = None

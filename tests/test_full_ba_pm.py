@@ -387,3 +387,25 @@ def test_single_fixed_pose():
         float(state_pm.final_cost), float(state_ref.final_cost),
         rtol=1e-2, atol=1e-3,
     )
+
+
+def test_duplicate_observation_fallback():
+    """A duplicate (landmark, pose, camera) observation is two residuals in
+    the reference and the observation-table engine; the point-major layout
+    has one plane cell per (slot, camera) and must refuse rather than
+    silently overwrite (found by tools/stress_parity.py)."""
+    prob = corridor_ba_problem(
+        num_poses=10, num_points=200, window=3, seed=2, num_fixed_poses=2
+    )
+    dup = slice(0, 1)
+    obs_cam = np.concatenate([prob.obs_camera, prob.obs_camera[dup]])
+    obs_pose = np.concatenate([prob.obs_pose, prob.obs_pose[dup]])
+    obs_point = np.concatenate([prob.obs_point, prob.obs_point[dup]])
+    obs_pixel = np.concatenate([prob.obs_pixel, prob.obs_pixel[dup] + 0.5])
+    fixed = np.zeros(10, bool)
+    fixed[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        obs_cam, obs_pose, obs_point, obs_pixel, fixed_pose_mask=fixed,
+    )
+    assert pm_from_finalized(problem, shape, block_points=64) is None

