@@ -121,6 +121,10 @@ def build_point_major(
     landmark block whose pose span exceeds max_window) -- callers then fall
     back to the observation-table path.
     """
+    # Compiled Pallas blocks need lane counts that are multiples of 128
+    # (interpret mode is laxer; don't let tests mask a TPU lowering error).
+    block_points = max(128, _round_up(int(block_points), 128))
+
     O = int(obs_pose.shape[0])
     M = int(points.shape[0])
     N = int(pose_opt_of.shape[0])
