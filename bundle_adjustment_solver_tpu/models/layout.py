@@ -285,8 +285,14 @@ def build_point_major(
     span = max(gspan, sspan, 8)
     # Any multiple of 8 works for the windowed one-hot (the kernels slice
     # pl.ds(base, P) on the sublane axis); power-of-two is NOT required, and
-    # the one-hot/matmul cost is linear in P.
+    # the one-hot/matmul cost is linear in P. Beyond one chunk the kernels
+    # iterate the window in fixed-size pieces, so P must then be a multiple
+    # of the chunk (ops/pallas/full_ba_pm._WINDOW_CHUNK).
+    from ..ops.pallas.full_ba_pm import _WINDOW_CHUNK
+
     P = max(8, _round_up(span, 8))
+    if P > _WINDOW_CHUNK:
+        P = _round_up(P, _WINDOW_CHUNK)
     if P > max_window:
         return None
     # Clamp bases so the in-kernel pl.ds(base, P) slice stays in bounds of the

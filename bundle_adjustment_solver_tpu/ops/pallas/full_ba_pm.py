@@ -58,6 +58,51 @@ COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
 # Upper-triangle (a <= b) index pairs for the 6x6 pose block, row-major.
 _TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
 
+# Pose-window chunk: one-hot operands are materialized (CHUNK, Kp*bm) at a
+# time so VMEM stays bounded for wide windows (P up to max_window); for the
+# common local case (P <= 256) this is a single iteration and identical to
+# the unchunked kernel.
+_WINDOW_CHUNK = 256
+
+
+def _gather_window(tbl_ref, base, P, idx, width):
+    """Chunked windowed one-hot gather: sum over window chunks of
+    tbl[base + c0 : base + c0 + CH]^T @ onehot(idx - base - c0).
+    idx: (Kp, bm) table offsets relative to `base`. Returns (width, Kp*bm).
+    Exact f32 (HIGHEST dots): used for pose rows."""
+    ch = min(P, _WINDOW_CHUNK)
+    out = None
+    for c0 in range(0, P, ch):
+        ohc = _onehot_flat(idx - c0, ch)
+        part = _gather_rows(tbl_ref[pl.ds(base + c0, ch), :], ohc, width)
+        out = part if out is None else out + part
+    return out
+
+
+def _gather_window_hilo(tbl_ref, base, P, idx, width):
+    """Chunked hi/lo-bf16 variant of _gather_window (CG x-gather)."""
+    ch = min(P, _WINDOW_CHUNK)
+    out = None
+    for c0 in range(0, P, ch):
+        ohc = _onehot_flat(idx - c0, ch, jnp.bfloat16)
+        part = _gather_rows_hilo(tbl_ref[pl.ds(base + c0, ch), :], ohc, width)
+        out = part if out is None else out + part
+    return out
+
+
+def _scatter_window_hilo(pan_ref, P, idx, contrib):
+    """Chunked hi/lo one-hot scatter into pan_ref[0] (P, cols): each chunk
+    owns disjoint window rows, so chunks write (not accumulate)."""
+    ch = min(P, _WINDOW_CHUNK)
+    hi, lo = _split_hilo(contrib)
+    dn = (((1,), (1,)), ((), ()))
+    for c0 in range(0, P, ch):
+        ohc = _onehot_flat(idx - c0, ch, jnp.bfloat16)
+        pan_ref[0, c0 : c0 + ch, :] = (
+            jax.lax.dot_general(ohc, hi, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(ohc, lo, dn, preferred_element_type=jnp.float32)
+        )
+
 
 def _onehot_flat(idx, P, dtype=jnp.float32):
     """(P, K*bm) flattened one-hot of (K, bm) offsets -- one wide matmul
@@ -84,18 +129,6 @@ def _gather_rows(tbl_win, oh, width):
     )
 
 
-def _scatter_panel(oh, contrib):
-    """(P, k) += one-hot scatter: oh (P, bm) x contrib (k, bm) -> (P, k),
-    contracting the lane (bm) axis."""
-    return jax.lax.dot_general(
-        oh,
-        contrib,
-        (((1,), (1,)), ((), ())),
-        precision=_HI,
-        preferred_element_type=jnp.float32,
-    )
-
-
 def _split_hilo(x):
     """f32 -> (hi, lo) bf16 pair with hi + lo == x to ~2^-16 relative."""
     hi = x.astype(jnp.bfloat16)
@@ -113,16 +146,6 @@ def _gather_rows_hilo(tbl_win, oh_bf, width):
     return (
         jax.lax.dot_general(hi, oh_bf, dn, preferred_element_type=jnp.float32)
         + jax.lax.dot_general(lo, oh_bf, dn, preferred_element_type=jnp.float32)
-    )
-
-
-def _scatter_panel_hilo(oh_bf, contrib):
-    """hi/lo-split scatter (see _gather_rows_hilo)."""
-    hi, lo = _split_hilo(contrib)
-    dn = (((1,), (1,)), ((), ()))
-    return (
-        jax.lax.dot_general(oh_bf, hi, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(oh_bf, lo, dn, preferred_element_type=jnp.float32)
     )
 
 
@@ -252,11 +275,10 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     lam = scal_ref[0, 0]
     huber = scal_ref[0, 1]
 
-    # Windowed one-hot gather of pose rows: one wide MXU dot for all slots.
-    tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]  # (P, 16)
+    # Windowed one-hot gather of pose rows: wide MXU dots, chunked over the
+    # window so VMEM stays bounded; pose values must stay exact f32.
     idx_g = spose_ref[:] - gbase  # (Kp, bm)
-    ohg = _onehot_flat(idx_g, P)  # pose values must stay exact f32
-    g = _gather_rows(tbl_win, ohg, 16).reshape(16, Kp, bm)
+    g = _gather_window(pose_tbl_ref, gbase, P, idx_g, 16).reshape(16, Kp, bm)
 
     X_blk = X_ref[:]  # (4, bm)
     pmask = X_blk[3:4, :]  # (1, bm) 1.0 for optimizable landmarks
@@ -339,10 +361,9 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
         for a_ in range(6)
     ]
 
-    # Pose-system panel: one windowed one-hot MXU scatter for all slots.
+    # Pose-system panel: windowed one-hot MXU scatter, chunked over P.
     # Columns [0:21) upper-tri A, [21:27) gradient a, [27:33) B Cinv b.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
-    ohs = _onehot_flat(idx_s, P, jnp.bfloat16)
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
@@ -350,7 +371,7 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
         + [jnp.zeros((A_COLS - 33, Kp * bm), jnp.float32)],
         axis=0,
     )  # (A_COLS, Kp*bm)
-    Apan_ref[0] = _scatter_panel_hilo(ohs, contrib)
+    _scatter_window_hilo(Apan_ref, P, idx_s, contrib)
 
 
 def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
@@ -358,10 +379,7 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     Kp, bm, P = shape.slots, shape.block_points, shape.window
     i = pl.program_id(0)
     sbase = sbase_ref[i]
-    x_win = x_tbl_ref[pl.ds(sbase, P), :]  # (P, 8)
     idx_s = sopt_ref[:] - sbase  # (Kp, bm)
-
-    ohs = _onehot_flat(idx_s, P, jnp.bfloat16)  # exactly 0/1 in bf16
 
     # Full-sublane (Kp, bm) planes, upcast once from the storage dtype.
     U = [U_ref[e].astype(jnp.float32) for e in range(18)]
@@ -371,10 +389,12 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         # the B Cinv b correction of the reduced rhs (cpp:887-888).
         t = [Cb_ref[6 + cpt : 7 + cpt, :] for cpt in range(3)]
     else:
-        # Gather x at every slot's pose in one wide dot (fixed slots gather
-        # zeros), then t = sum_slots U^T x (pass 1 of the S matvec); all
-        # element math runs on full-sublane (Kp, bm) planes.
-        xg_all = _gather_rows_hilo(x_win, ohs, 8).reshape(8, Kp, bm)
+        # Gather x at every slot's pose in wide chunked dots (fixed slots
+        # gather zeros), then t = sum_slots U^T x (pass 1 of the S matvec);
+        # all element math runs on full-sublane (Kp, bm) planes.
+        xg_all = _gather_window_hilo(
+            x_tbl_ref, sbase, P, idx_s, 8
+        ).reshape(8, Kp, bm)
         t = []
         for cpt in range(3):
             acc = U[cpt] * xg_all[0]
@@ -400,7 +420,7 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         rows.append(row.reshape(1, Kp * bm))
     rows.append(jnp.zeros((2, Kp * bm), jnp.float32))
     contrib = jnp.concatenate(rows, axis=0)  # (8, Kp*bm)
-    out_pan_ref[0] = _scatter_panel_hilo(ohs, contrib)
+    _scatter_window_hilo(out_pan_ref, P, idx_s, contrib)
 
 
 def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
@@ -410,10 +430,8 @@ def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
     gbase = gbase_ref[i]
     huber = scal_ref[0, 1]
 
-    tbl_win = pose_tbl_ref[pl.ds(gbase, P), :]
     idx_g = spose_ref[:] - gbase
-    ohg = _onehot_flat(idx_g, P)  # pose values must stay exact f32
-    g = _gather_rows(tbl_win, ohg, 16).reshape(16, Kp, bm)
+    g = _gather_window(pose_tbl_ref, gbase, P, idx_g, 16).reshape(16, Kp, bm)
 
     per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
     s_norm = jnp.float32(0)

@@ -409,3 +409,51 @@ def test_duplicate_observation_fallback():
         obs_cam, obs_pose, obs_point, obs_pixel, fixed_pose_mask=fixed,
     )
     assert pm_from_finalized(problem, shape, block_points=64) is None
+
+
+def test_wide_window_chunking():
+    """Global co-visibility (every landmark also seen from the far end of the
+    trajectory) forces a window wider than one chunk; the chunked one-hot
+    path must agree with the observation-table engine."""
+    from bundle_adjustment_solver_tpu.ops.pallas.full_ba_pm import (
+        _WINDOW_CHUNK,
+    )
+
+    n_poses = 700  # window spans ~700 > _WINDOW_CHUNK
+    prob = corridor_ba_problem(
+        num_poses=n_poses, num_points=500, window=3, seed=21,
+        num_fixed_poses=2,
+    )
+    rng = np.random.default_rng(4)
+    obs_pose = prob.obs_pose.copy()
+    sel = rng.random(obs_pose.shape[0]) < 0.05
+    obs_pose[sel] = (obs_pose[sel] + n_poses // 2) % n_poses
+    # Dedupe triples the rewiring may create.
+    tri = (prob.obs_point.astype(np.int64) * (n_poses * 2)
+           + obs_pose.astype(np.int64) * 2 + prob.obs_camera)
+    _, uniq_idx = np.unique(tri, return_index=True)
+    uniq = np.zeros(obs_pose.shape[0], bool)
+    uniq[uniq_idx] = True
+    fixed = np.zeros(n_poses, bool)
+    fixed[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera[uniq], obs_pose[uniq], prob.obs_point[uniq],
+        prob.obs_pixel[uniq], fixed_pose_mask=fixed,
+    )
+    res = pm_from_finalized(problem, shape)
+    assert res is not None
+    _, pshape = res
+    assert pshape.window > _WINDOW_CHUNK  # exercises >1 chunk
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(4),
+        reduced_system="cg", cg_max_iterations=30, cg_tolerance=1e-10,
+    )
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    state_pm, _ = solve_pm(problem, shape, opts, pm_and_shape=res)
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-2, atol=1e-2,
+    )
