@@ -70,34 +70,23 @@ class _OracleBackend(BundleAdjustmentSolverInterface):
     def solve(self, options):
         from .solvers.oracle import full_ba_oracle
 
-        b = self._builder
-        poses0 = np.stack([b._poses[p] for p in b._pose_ids])
-        points0 = np.stack([b._points[p] for p in b._point_ids])
-        fixed_pose = np.asarray(
-            [p in b._fixed_poses for p in b._pose_ids], dtype=bool
-        )
-        fixed_point = np.asarray(
-            [p in b._fixed_points for p in b._point_ids], dtype=bool
-        )
-        pose_index = {pid: k for k, pid in enumerate(b._pose_ids)}
-        point_index = {pid: k for k, pid in enumerate(b._point_ids)}
+        reg = self._builder.export_registration()
         # Oracle cannot constrain never-observed free points.
-        observed = np.zeros(len(b._point_ids), dtype=bool)
-        observed[[point_index[p] for p in b._obs_point]] = True
+        observed = np.zeros(reg["points"].shape[0], dtype=bool)
+        observed[reg["obs_point"]] = True
         poses, points, cost = full_ba_oracle(
-            [b._cameras[k] for k in sorted(b._cameras)],
-            poses0,
-            points0,
-            np.asarray([0 if c is None else c for c in b._obs_cam]),
-            np.asarray([pose_index[p] for p in b._obs_pose]),
-            np.asarray([point_index[p] for p in b._obs_point]),
-            np.stack(b._obs_pixel),
-            fixed_pose_mask=fixed_pose,
-            fixed_point_mask=fixed_point | ~observed,
+            reg["cameras"],
+            reg["poses"],
+            reg["points"],
+            reg["obs_cam"],
+            reg["obs_pose"],
+            reg["obs_point"],
+            reg["obs_pixel"],
+            fixed_pose_mask=reg["fixed_pose_mask"],
+            fixed_point_mask=reg["fixed_point_mask"] | ~observed,
             max_nfev=options.iteration_handle.max_num_iterations,
         )
-        b._solved_poses = poses
-        b._solved_points = points
+        self._builder.set_solution(poses, points)
         return cost
 
     def get_pose(self, pose_id):

@@ -128,16 +128,25 @@ def build_point_major(
     O = int(obs_pose.shape[0])
     M = int(points.shape[0])
     N = int(pose_opt_of.shape[0])
+    if O == 0:
+        # A zero-observation problem has no point-major layout (and the
+        # native probe returns None for n == 0); let callers fall back.
+        return None
     if num_opt_poses is not None:
         n_opt = int(num_opt_poses)
     else:
         # Fall back to inferring from the sentinel convention (fixed poses
-        # carry the value n_opt). NOTE: ambiguous when exactly one pose is
-        # fixed (values 0..N-1 either way) -- callers should pass
-        # num_opt_poses explicitly; assume the max value is the sentinel
-        # only when it appears more than once or leaves a gap.
+        # carry the value n_opt). The inference is AMBIGUOUS when the values
+        # are exactly 0..N-1: that is either all-optimizable or exactly one
+        # fixed pose whose sentinel N-1 masquerades as an opt index. Refuse
+        # to guess -- every in-repo caller passes num_opt_poses explicitly.
         uniq = np.unique(pose_opt_of)
-        n_opt = N if uniq.size == N else int(uniq[-1])
+        if uniq.size == N:
+            raise ValueError(
+                "pose_opt_of values 0..N-1 are ambiguous (all-optimizable vs "
+                "one fixed pose); pass num_opt_poses explicitly."
+            )
+        n_opt = int(uniq[-1])
 
     C = int(num_cameras)
 
@@ -295,8 +304,9 @@ def build_point_major(
         P = _round_up(P, _WINDOW_CHUNK)
     if P > max_window:
         return None
-    # Clamp bases so the in-kernel pl.ds(base, P) slice stays in bounds of the
-    # (N, .) / (n_opt + 8, .) tables (tables are padded to >= base + P).
+    # In-bounds invariant (by construction, no clamp needed): gbase <= N-1 and
+    # sbase <= n_opt-1, and the kernels' pose tables are padded by +P rows
+    # (to N+P / n_opt+P), so every in-kernel pl.ds(base, P) slice fits.
 
     pm = PointMajorProblem(
         obs_f32=jnp.asarray(obs_f32),

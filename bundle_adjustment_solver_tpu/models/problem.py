@@ -444,6 +444,46 @@ class FullBundleAdjustmentSolver:
             raise RuntimeError("solve() has not been run.")
         return self._solved_points
 
+    def export_registration(self) -> dict:
+        """Registered problem state as dense index arrays (public accessor).
+
+        Alternate backends (e.g. the autodiff oracle behind
+        `interfaces.create_solver('oracle')`) consume this instead of
+        reaching into builder internals: cameras sorted by index, poses and
+        points in registration order, fixed masks, and observation columns
+        re-keyed to dense row indices. Pixels/poses/points are UNscaled
+        (user units).
+        """
+        pose_index = {pid: k for k, pid in enumerate(self._pose_ids)}
+        point_index = {pid: k for k, pid in enumerate(self._point_ids)}
+        return dict(
+            cameras=[self._cameras[k] for k in sorted(self._cameras)],
+            poses=np.stack([self._poses[p] for p in self._pose_ids]),
+            points=np.stack([self._points[p] for p in self._point_ids]),
+            fixed_pose_mask=np.asarray(
+                [p in self._fixed_poses for p in self._pose_ids], dtype=bool
+            ),
+            fixed_point_mask=np.asarray(
+                [p in self._fixed_points for p in self._point_ids], dtype=bool
+            ),
+            obs_cam=np.asarray(self._obs_cam, dtype=np.int32),
+            obs_pose=np.asarray(
+                [pose_index[p] for p in self._obs_pose], dtype=np.int32
+            ),
+            obs_point=np.asarray(
+                [point_index[p] for p in self._obs_point], dtype=np.int32
+            ),
+            obs_pixel=np.stack(self._obs_pixel),
+        )
+
+    def set_solution(self, poses_world_to_camera, points) -> None:
+        """Install externally computed results so `get_pose`/`get_point`/
+        `get_all_*` read them (the write-back half of the public accessor
+        pair; the reference writes through registered pointers,
+        cpp:1010-1022)."""
+        self._solved_poses = np.asarray(poses_world_to_camera)
+        self._solved_points = np.asarray(points)
+
     # -- refactor-API aliases (reference FullBundleAdjustmentSolverRefactor,
     # full_bundle_adjustment_solver_refactor.h:117-136: Register* naming) ----
 

@@ -99,8 +99,16 @@ class Options:
     coupling_dtype: str = "float32"
     # Use the fused Pallas TPU kernels for the per-iteration statistics
     # (ops/pallas/): ~2.6x over the XLA path on TPU by never materializing
-    # Jacobians in HBM. 'never' | 'always' | 'interpret' (CPU debugging).
-    pallas: str = "never"
+    # Jacobians in HBM. 'auto' (default: fused kernels on TPU where measured
+    # profitable, XLA elsewhere) | 'never' | 'always' | 'interpret' (CPU
+    # debugging).
+    pallas: str = "auto"
+    # Pose-only inlier-mask semantics. 'final' (default) reports the mask of
+    # the final evaluated iteration; 'reference' reproduces the reference's
+    # sticky accumulation from iteration 0 (pose_only cpp:95-98: a point
+    # flagged outlier at ANY iteration -- including under the coarse initial
+    # guess -- stays flagged).
+    outlier_mask: str = "final"
 
     def replace(self, **kwargs) -> "Options":
         return dataclasses.replace(self, **kwargs)

@@ -214,10 +214,12 @@ def _resolve_mode(shape: ProblemShape, options: Options) -> str:
     dense_b_floats = shape.num_opt_poses * 6 * shape.num_opt_points * 3
     if shape.num_opt_poses <= 1024 and dense_b_floats <= 120_000_000:
         return "dense"
-    # Large problems: prefer the point-major Pallas engine on TPU-class
-    # backends (40x the observation-table path on v5e); it falls back to
-    # 'cg' when the problem exceeds the layout's static bounds.
-    if jax.default_backend() != "cpu" and shape.num_observations >= 200_000:
+    # Large problems: prefer the point-major Pallas engine on TPU (40x the
+    # observation-table path on v5e); it falls back to 'cg' when the problem
+    # exceeds the layout's static bounds. Gate on == "tpu" explicitly: the
+    # pltpu kernels do not lower on other accelerators, and a backend-compile
+    # failure (unlike a layout-bounds ValueError) has no fallback.
+    if jax.default_backend() == "tpu" and shape.num_observations >= 200_000:
         return "pm"
     return "cg"
 

@@ -63,14 +63,18 @@ def pose_only_oracle(
 
     fx, fy, cx, cy = (float(x) for x in intrinsics)
     T0 = np.linalg.inv(np.asarray(pose_reference_to_current, dtype=np.float64))
-    R0 = jnp.asarray(T0[:3, :3])
-    t0 = jnp.asarray(T0[:3, 3])
-    pts = jnp.asarray(points, dtype=jnp.float64)
-    pix = jnp.asarray(pixels, dtype=jnp.float64)
 
     from ..ops import lie
 
     with jax.enable_x64(True):
+        # All device constants are created INSIDE the x64 scope; outside it
+        # jnp.asarray(..., float64) silently truncates to f32 and the whole
+        # oracle runs single precision.
+        R0 = jnp.asarray(T0[:3, :3])
+        t0 = jnp.asarray(T0[:3, 3])
+        pts = jnp.asarray(points, dtype=jnp.float64)
+        pix = jnp.asarray(pixels, dtype=jnp.float64)
+        assert pts.dtype == jnp.float64, "oracle must run in f64"
 
         def residuals(xi):
             dR, dt = lie.se3_exp(xi)
@@ -139,6 +143,7 @@ def full_ba_oracle(
         jT0_R = jnp.asarray(T0[:, :3, :3])
         jT0_t = jnp.asarray(T0[:, :3, 3])
         jX0 = jnp.asarray(points, dtype=jnp.float64)
+        assert jX0.dtype == jnp.float64, "oracle must run in f64"
         j_cam_R = jnp.asarray(cam_R[obs_cam])
         j_cam_t = jnp.asarray(cam_t[obs_cam])
         j_f = jnp.asarray(cam_f[obs_cam])

@@ -29,10 +29,12 @@ per-mode normalization of the printed cost matches the reference
 All solvers keep the reference's fixed damping lambda = 1e-5 (cpp:57,235,472),
 Manhattan-Huber weights, output-only outlier masks (they never gate the
 normal equations, exactly like the reference), update-before-convergence-
-check ordering, and the NaN write-back guard (cpp:159-167). One deliberate
-mask deviation: the reference accumulates outlier flags stickily from
-iteration 0 (cpp:95-98), so any coarse initial guess permanently flags every
-point; we report the final evaluated iteration's mask instead.
+check ordering, and the NaN write-back guard (cpp:159-167). Mask semantics
+are selectable via ``Options.outlier_mask``: the default 'final' reports the
+final evaluated iteration's mask (a deliberate deviation -- the reference
+accumulates outlier flags stickily from iteration 0, cpp:95-98, so any
+coarse initial guess permanently flags points); 'reference' reproduces that
+sticky accumulation exactly for parity.
 """
 
 from __future__ import annotations
@@ -71,6 +73,27 @@ from ..summary import (
 
 _FIXED_LAMBDA = 1e-5  # reference: pose-only solvers never adapt damping (cpp:57)
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# 'auto' pallas threshold: below this many points the fused kernel's grid
+# overhead outweighs the HBM-Jacobian saving (measured on v5e; the XLA path
+# fuses fully into registers at small P anyway).
+_PALLAS_AUTO_MIN_POINTS = 2048
+
+
+def _use_pallas(options: Options, num_points: int) -> bool:
+    """Resolve Options.pallas ('auto'|'never'|'always'|'interpret') for the
+    fused pose-only GN kernel. Sticky 'reference' outlier masks need the
+    per-iteration residual pass, which the fused kernel does not expose --
+    they force the XLA path."""
+    if getattr(options, "outlier_mask", "final") == "reference":
+        return False
+    mode = options.pallas
+    if mode == "auto":
+        return (
+            jax.default_backend() == "tpu"
+            and num_points >= _PALLAS_AUTO_MIN_POINTS
+        )
+    return mode in ("always", "interpret")
 
 
 class PoseOnlyResult(NamedTuple):
@@ -254,7 +277,8 @@ def solve_monocular_6dof_jax(
     validf = valid.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf), 1.0)
 
-    use_pallas = options.pallas in ("always", "interpret")
+    sticky = getattr(opts, "outlier_mask", "final") == "reference"
+    use_pallas = _use_pallas(options, points.shape[0])
     if use_pallas:
         from ..ops.pallas.pose_only_gn import (
             pack_problem_planes,
@@ -291,10 +315,11 @@ def solve_monocular_6dof_jax(
             wv = w * validf
             JtWJ, g = _normal_equations(J, r, wv, 6)
             err_sum = jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
-            # Deviation from the reference (documented in the module
-            # docstring): the mask reports the final evaluated iteration, not
-            # a sticky accumulation from iteration 0.
-            mask_left = valid & (manhattan < thr_outlier)
+            # Default 'final': the mask reports the final evaluated iteration
+            # (documented deviation). 'reference' parity: sticky accumulation
+            # from iteration 0 (cpp:95-98) -- once out, always out.
+            mask_now = valid & (manhattan < thr_outlier)
+            mask_left = c.mask_left & mask_now if sticky else mask_now
         delta = _damped_solve(JtWJ, g, 6)
         R_new, t_new = add_front_se3(c.R, c.t, delta)
 
@@ -365,6 +390,7 @@ def solve_stereo_6dof_jax(
     validf_l = valid.astype(dtype)
     validf_r = valid_right.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf_l) + jnp.sum(validf_r), 1.0)
+    sticky = getattr(opts, "outlier_mask", "final") == "reference"
 
     def cond(c: _Carry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
@@ -395,9 +421,12 @@ def solve_stereo_6dof_jax(
             + jnp.sum(wv_r * (r_r[:, 0] ** 2 + r_r[:, 1] ** 2))
         ) * (2.0 * inv_n)
 
-        # Final-iteration mask (see deviation note in the mono solver).
-        mask_left = valid & (man_l < thr_outlier)
-        mask_right = valid_right & (man_r < thr_outlier)
+        # 'final' mask (deviation note in the mono solver) or sticky
+        # 'reference' accumulation (cpp:95-98).
+        mask_l_now = valid & (man_l < thr_outlier)
+        mask_r_now = valid_right & (man_r < thr_outlier)
+        mask_left = c.mask_left & mask_l_now if sticky else mask_l_now
+        mask_right = c.mask_right & mask_r_now if sticky else mask_r_now
 
         step_norm = jnp.linalg.norm(delta)
         conv_now = jnp.logical_or(
@@ -536,6 +565,7 @@ def solve_monocular_planar3dof_jax(
     )
     validf = valid.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf), 1.0)
+    sticky = getattr(opts, "outlier_mask", "final") == "reference"
 
     def cond(c: _PlanarCarry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
@@ -556,7 +586,8 @@ def solve_monocular_planar3dof_jax(
         theta_new = _planar_update(c.theta, delta)
 
         err_curr = 0.5 * inv_n * jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
-        mask_left = valid & (manhattan < thr_outlier)
+        mask_now = valid & (manhattan < thr_outlier)
+        mask_left = c.mask_left & mask_now if sticky else mask_now
         step_norm = jnp.linalg.norm(delta)
         conv_now = jnp.logical_or(
             step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
@@ -625,6 +656,7 @@ def solve_stereo_planar3dof_jax(
     validf_l = valid.astype(dtype)
     validf_r = valid_right.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf_l) + jnp.sum(validf_r), 1.0)
+    sticky = getattr(opts, "outlier_mask", "final") == "reference"
 
     def cond(c: _PlanarCarry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
@@ -660,9 +692,11 @@ def solve_stereo_planar3dof_jax(
             jnp.sum(wv_l * (r_l[:, 0] ** 2 + r_l[:, 1] ** 2))
             + jnp.sum(wv_r * (r_r[:, 0] ** 2 + r_r[:, 1] ** 2))
         ) * (2.0 * inv_n)
-        # Final-iteration mask (see deviation note in the mono solver).
-        mask_left = valid & (man_l < thr_outlier)
-        mask_right = valid_right & (man_r < thr_outlier)
+        # 'final' mask or sticky 'reference' accumulation (cpp:95-98).
+        mask_l_now = valid & (man_l < thr_outlier)
+        mask_r_now = valid_right & (man_r < thr_outlier)
+        mask_left = c.mask_left & mask_l_now if sticky else mask_l_now
+        mask_right = c.mask_right & mask_r_now if sticky else mask_r_now
         step_norm = jnp.linalg.norm(delta)
         conv_now = jnp.logical_or(
             step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost

@@ -334,3 +334,95 @@ def stereo_ba_problem(
         obs_point=np.concatenate(obs_point),
         obs_pixel=np.concatenate(obs_pixel),
     )
+
+
+@dataclasses.dataclass
+class BatchedStereoPoseOnlyProblem:
+    """Many independent stereo pose-only frames (BASELINE config 2:
+    'test_6dof_stereo_poseonly_ba: batched 6-DoF pose-only BA over many
+    frames'). One shared rig; per-frame point clouds, pixels, and poses."""
+
+    points: np.ndarray  # (B, P, 3) points in each frame's reference frame
+    pixels_left: np.ndarray  # (B, P, 2)
+    pixels_right: np.ndarray  # (B, P, 2); negative pixels mark no match
+    intrinsics: np.ndarray  # (4,) shared fx, fy, cx, cy
+    pose_left_to_right: np.ndarray  # (4, 4) rig extrinsic
+    poses_true: np.ndarray  # (B, 4, 4) true reference->current poses
+    poses_initial: np.ndarray  # (B, 4, 4) initial guesses (identity)
+
+
+def batched_stereo_pose_only_problem(
+    num_frames: int = 1024,
+    points_per_frame: int = 512,
+    seed: int = 0,
+    pixel_noise: float = 0.0,
+    drop_right_frac: float = 0.1,
+    baseline: float = 0.12,
+    fx: float = 525.0,
+    fy: float = 525.0,
+    cx: float = 320.0,
+    cy: float = 240.0,
+) -> BatchedStereoPoseOnlyProblem:
+    """Vectorized batch of stereo 6-DoF pose-only problems: the reference
+    solves one frame per call (test_6dof_stereo_poseonly_ba.cpp workload);
+    here B frames share one device launch via the *_batched solvers.
+
+    Per frame: a frustum point cloud, a small random true motion (axis-angle
+    ~0.1 rad, translation ~0.2 m), exact left/right projections (rig offset
+    `baseline` along +x, test_ba.cpp:82-85), a fraction of right matches
+    dropped via negative pixels (pose_only cpp:298).
+    """
+    rng = np.random.default_rng(seed)
+    B, P = int(num_frames), int(points_per_frame)
+
+    pts = np.stack([frustum_cloud(P, rng) for _ in range(B)])  # (B, P, 3)
+
+    # Rodrigues: per-frame small random rotation + translation.
+    w = rng.normal(0.0, 0.06, (B, 3))
+    th = np.linalg.norm(w, axis=-1, keepdims=True)
+    k = w / np.maximum(th, 1e-12)
+    K = np.zeros((B, 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    s = np.sin(th)[..., None]
+    c = np.cos(th)[..., None]
+    R = np.eye(3)[None] + s * K + (1 - c) * (K @ K)
+    t = rng.normal(0.0, [0.08, 0.08, 0.2], (B, 3))
+
+    T_true = np.tile(np.eye(4), (B, 1, 1))
+    T_true[:, :3, :3] = R
+    T_true[:, :3, 3] = t
+
+    T_lr = np.eye(4)
+    T_lr[0, 3] = baseline
+    T_rl = np.linalg.inv(T_lr)
+
+    R_cw = np.transpose(R, (0, 2, 1))
+    t_cw = -np.einsum("bij,bj->bi", R_cw, t)
+    loc_l = np.einsum("bij,bpj->bpi", R_cw, pts) + t_cw[:, None, :]
+    loc_r = loc_l @ T_rl[:3, :3].T + T_rl[:3, 3]
+
+    def proj(loc):
+        inv_z = 1.0 / loc[..., 2]
+        return np.stack(
+            [fx * loc[..., 0] * inv_z + cx, fy * loc[..., 1] * inv_z + cy],
+            axis=-1,
+        )
+
+    pix_l, pix_r = proj(loc_l), proj(loc_r)
+    if pixel_noise > 0:
+        pix_l = pix_l + rng.normal(0.0, pixel_noise, pix_l.shape)
+        pix_r = pix_r + rng.normal(0.0, pixel_noise, pix_r.shape)
+    drop = rng.uniform(size=(B, P)) < drop_right_frac
+    pix_r[drop] = -1.0
+
+    return BatchedStereoPoseOnlyProblem(
+        points=pts,
+        pixels_left=pix_l,
+        pixels_right=pix_r,
+        intrinsics=np.array([fx, fy, cx, cy]),
+        pose_left_to_right=T_lr,
+        poses_true=T_true,
+        poses_initial=np.tile(np.eye(4), (B, 1, 1)),
+    )

@@ -26,6 +26,25 @@ from tests.test_full_ba import build_solver, pose_errors
 
 
 class TestPoseOnlyParity:
+    def test_oracle_runs_in_float64(self):
+        """The oracle's JAX residual path must be genuine f64 (no silent f32
+        truncation); jnp.asarray(..., float64) outside an enable_x64 scope
+        emits a 'will be truncated' UserWarning -- assert none appear."""
+        import warnings
+
+        prob = mono_pose_only_problem(num_points=200, seed=1, pixel_noise=0.5)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            oracle.pose_only_oracle(
+                prob.points,
+                prob.pixels,
+                prob.intrinsics,
+                prob.pose_initial,
+                max_nfev=5,
+            )
+        trunc = [w for w in rec if "truncated" in str(w.message)]
+        assert not trunc, [str(w.message) for w in trunc]
+
     def test_mono_6dof_matches_oracle_with_noise(self):
         """With pixel noise the minimum is nontrivial; native (Huber
         disabled via a huge delta, to match the oracle's unrobust cost) and

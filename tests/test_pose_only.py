@@ -332,3 +332,77 @@ class TestPlanarBatched:
                 np.asarray(batched.pose[b]) - p["T_wc_true"]
             ).max()
             assert err < 1e-3, err
+
+
+class TestStickyOutlierMask:
+    """Options.outlier_mask='reference' reproduces the reference's sticky
+    accumulation from iteration 0 (pose_only cpp:95-98)."""
+
+    def _masks(self, outlier_mask):
+        import jax.numpy as jnp
+
+        prob = mono_pose_only_problem(num_points=2000, seed=7, pixel_noise=1.0)
+        opts = make_options(max_iter=50, outlier=2.0).replace(
+            outlier_mask=outlier_mask
+        )
+        points = jnp.asarray(prob.points, jnp.float32)
+        pixels = jnp.asarray(prob.pixels, jnp.float32)
+        valid = jnp.ones(points.shape[0], bool)
+        res = pose_only.solve_monocular_6dof_jax(
+            points,
+            pixels,
+            valid,
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.pose_initial, jnp.float32),
+            opts,
+        )
+        return prob, opts, res
+
+    @staticmethod
+    def _manhattan(prob, T_wc):
+        """Replay |r_u|+|r_v| (the reference's error_nonweighted outlier
+        statistic, cpp:1404-1406) for a given user-facing pose, in f64."""
+        T_cw = np.linalg.inv(np.asarray(T_wc, np.float64))
+        X_c = prob.points @ T_cw[:3, :3].T + T_cw[:3, 3]
+        fx, fy, cx, cy = prob.intrinsics
+        u = fx * X_c[:, 0] / X_c[:, 2] + cx
+        v = fy * X_c[:, 1] / X_c[:, 2] + cy
+        r = np.stack([u, v], -1) - prob.pixels
+        return np.abs(r[:, 0]) + np.abs(r[:, 1])
+
+    def test_reference_mask_is_sticky_and_final_is_not(self):
+        prob, opts, res_ref = self._masks("reference")
+        _, _, res_fin = self._masks("final")
+        mask_ref = np.asarray(res_ref.mask_inlier)
+        mask_fin = np.asarray(res_fin.mask_inlier)
+        # Same optimized pose either way (the mask never gates the normal
+        # equations, exactly like the reference).
+        np.testing.assert_allclose(
+            np.asarray(res_ref.pose), np.asarray(res_fin.pose), atol=1e-6
+        )
+        # Sticky can only remove inliers relative to the final-iteration mask.
+        assert not np.any(mask_ref & ~mask_fin)
+        # The coarse initial guess flags points at iteration 0 that later
+        # become inliers -- the modes must genuinely differ on this problem.
+        assert mask_ref.sum() < mask_fin.sum(), (
+            int(mask_ref.sum()), int(mask_fin.sum()),
+        )
+
+    def test_reference_mask_matches_replay(self):
+        """The sticky mask equals the AND over iterations of the
+        per-iteration outlier gate, replayed from the debug-pose trace."""
+        prob, opts, res = self._masks("reference")
+        n = int(res.num_iterations)
+        thr = opts.outlier_handle.threshold_outlier_rejection
+        # Iteration k evaluates the mask at the pose BEFORE its update:
+        # the initial pose for k=0, debug_poses[k-1] after.
+        poses = [prob.pose_initial] + [
+            np.asarray(res.debug_poses[k]) for k in range(n - 1)
+        ]
+        expected = np.ones(prob.points.shape[0], dtype=bool)
+        for T in poses:
+            expected &= self._manhattan(prob, T) < thr
+        mask = np.asarray(res.mask_inlier)
+        # f32 engine vs f64 replay: allow a tiny boundary band.
+        disagree = mask != expected
+        assert disagree.mean() < 0.005, disagree.sum()
