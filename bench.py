@@ -1,22 +1,37 @@
 #!/usr/bin/env python
-"""Benchmark: full stereo BA throughput on one TPU chip.
+"""Benchmark: BA throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the flagship full-BA metric):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+and writes ALL captured metrics (flagship + the reference's headline
+pose-only workloads) to BENCH_DETAILS.json.
 
-Workload (BASELINE.json primary config, scaled to one chip): corridor stereo
-BA -- 2,000 poses / 200,000 landmarks / 2.4M observations -- solved with the
-point-major Pallas Schur-CG LM engine (BENCH_IMPL=cg selects the portable
-observation-table path instead), measuring LM iterations/s and
-observations x LM-iterations per second per chip.
+Workloads:
+  1. Flagship full BA (BASELINE.json primary config): corridor stereo BA,
+     default 10,000 poses / 1,000,000 landmarks / ~12M observations, solved
+     with the point-major Pallas Schur-CG LM engine (BENCH_IMPL=cg selects
+     the portable observation-table path), measuring observations x
+     LM-iterations/s per chip. Final RMSE is asserted against the PERF.md
+     convergence value.
+  2. Pose-only mono 6-DoF at 300,000 observations -- the reference's
+     headline speed harness (test_compare_ceres_vs_native.cpp:91,122,
+     253-275: 300k obs x 100 GN iterations with a printed speed ratio).
+  3. Batched stereo 6-DoF pose-only over thousands of frames (BASELINE
+     config 2, test_6dof_stereo_poseonly_ba workload) via the vmapped
+     batched solver.
 
-Baseline: the reference (ChanghyeonKim93/bundle_adjustment_solver) publishes
-no numbers (BASELINE.md); its serial C++ observation loop costs ~1 us per
-observation per LM iteration on desktop x86 (hand-expanded Eigen arithmetic,
-full cpp:716-831, plus O(N*M) zeroing per iteration, cpp:343-379 -- and its
-dense storage cannot represent this problem size at all). We use
-1e6 obs-iterations/s as the reference-throughput estimate, so
-vs_baseline = value / 1e6.
+Baseline: the reference publishes no numbers (BASELINE.md); its serial C++
+observation loop costs ~1 us per observation per iteration on desktop x86
+(hand-expanded Eigen arithmetic, full cpp:716-831, plus O(N*M) zeroing per
+iteration, cpp:343-379 -- and its dense storage cannot represent the
+flagship problem at all). We use 1e6 obs-iterations/s as the
+reference-throughput estimate, so vs_baseline = value / 1e6.
+
+Timing methodology (see CLAUDE.md): through the device tunnel,
+block_until_ready is unreliable and every dispatch+fetch costs ~40-85 ms, so
+iteration loops run INSIDE one jit (lax.while_loop with convergence
+thresholds at 0 => exactly max_iter iterations) and pose-only rates come
+from the difference of two iteration counts, cancelling dispatch overhead.
 """
 
 import json
@@ -34,19 +49,49 @@ from bundle_adjustment_solver_tpu.options import (
     ConvergenceHandle,
     IterationHandle,
     Options,
+    OutlierHandle,
     SolverType,
 )
 from bundle_adjustment_solver_tpu.solvers import full_ba
-from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
+from bundle_adjustment_solver_tpu.utils.synthetic import (
+    batched_stereo_pose_only_problem,
+    corridor_ba_problem,
+    mono_pose_only_problem,
+)
 
-NUM_POSES = int(os.environ.get("BENCH_POSES", 2000))
-NUM_POINTS = int(os.environ.get("BENCH_POINTS", 200_000))
+NUM_POSES = int(os.environ.get("BENCH_POSES", 10_000))
+NUM_POINTS = int(os.environ.get("BENCH_POINTS", 1_000_000))
 WINDOW = int(os.environ.get("BENCH_WINDOW", 6))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 50))
 IMPL = os.environ.get("BENCH_IMPL", "pm")  # 'pm' (pallas) | 'cg' (obs table)
+ONLY = os.environ.get("BENCH_ONLY", "all")  # 'all' | 'full' | 'pose'
+# PERF.md: the 10k/1M flagship converges to 0.004 px; generous slack for
+# noise-seed / iteration-count variation.
+RMSE_LIMIT = float(os.environ.get("BENCH_RMSE_LIMIT", 0.02))
 
 
-def build():
+def _fetch(x) -> float:
+    """Scalar fetch to synchronize (block_until_ready is unreliable through
+    the device tunnel)."""
+    return float(np.asarray(x))
+
+
+def full_ba_options(max_iter):
+    # Thresholds at 0 force exactly max_iter LM iterations and exactly 25 CG
+    # iterations per LM iteration (no early exit): a deterministic workload,
+    # comparable across runs regardless of convergence state.
+    return Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(max_iter),
+        reduced_system="cg",
+        cg_max_iterations=25,
+        cg_tolerance=0.0,
+    )
+
+
+def bench_full_ba() -> dict:
+    dev = jax.devices()[0]
     prob = corridor_ba_problem(
         num_poses=NUM_POSES, num_points=NUM_POINTS, window=WINDOW, seed=123
     )
@@ -63,26 +108,6 @@ def build():
         fixed_pose_mask=fixed_pose,
         return_host=True,
     )
-    return prob, problem, shape, host
-
-
-def options(max_iter):
-    # Thresholds at 0 force exactly max_iter LM iterations and exactly 25 CG
-    # iterations per LM iteration (no early exit): a deterministic workload,
-    # comparable across runs regardless of convergence state.
-    return Options(
-        solver_type=SolverType.LEVENBERG_MARQUARDT,
-        convergence_handle=ConvergenceHandle(0.0, 0.0),
-        iteration_handle=IterationHandle(max_iter),
-        reduced_system="cg",
-        cg_max_iterations=25,
-        cg_tolerance=0.0,
-    )
-
-
-def main():
-    dev = jax.devices()[0]
-    prob, problem, shape, host = build()
     n_obs = shape.num_observations
 
     # Move the problem to device once (production solvers keep state
@@ -98,33 +123,35 @@ def main():
         def run(n):
             out = full_ba_pm._solve_pm_jax(
                 pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
-                problem.opt_pose_idx, options(n), interpret=False,
+                problem.opt_pose_idx, full_ba_options(n), interpret=False,
             )
-            # Force full execution (block_until_ready is unreliable over the
-            # device tunnel; a scalar fetch is not).
-            return out, float(out[7])
+            return out, _fetch(out[7])
 
         run(TIMED_ITERS)  # compile + warm-up
         t0 = time.perf_counter()
         out, _ = run(TIMED_ITERS)
         elapsed = time.perf_counter() - t0
-        rmse = float(out[8])
+        rmse = _fetch(out[8])
     else:
 
         def run(n):
-            state = full_ba._solve_jax(problem, shape, options(n), "cg")
-            return state, float(state.final_cost)
+            state = full_ba._solve_jax(problem, shape, full_ba_options(n), "cg")
+            return state, _fetch(state.final_cost)
 
         run(TIMED_ITERS)
         t0 = time.perf_counter()
         state, _ = run(TIMED_ITERS)
         elapsed = time.perf_counter() - t0
-        rmse = float(state.final_rmse_px)
+        rmse = _fetch(state.final_rmse_px)
+
+    assert rmse <= RMSE_LIMIT, (
+        f"flagship final RMSE {rmse:.4f} px exceeds {RMSE_LIMIT} px "
+        "(PERF.md convergence: 0.004 px at 10k/1M)"
+    )
 
     iters_per_s = TIMED_ITERS / elapsed
     obs_iters_per_s = n_obs * iters_per_s
-
-    result = {
+    return {
         "metric": (
             "full_BA_observations_x_LM-iterations_per_second_per_chip "
             f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {n_obs} obs, "
@@ -135,7 +162,131 @@ def main():
         "unit": "obs*iter/s",
         "vs_baseline": round(obs_iters_per_s / 1e6, 3),
     }
-    print(json.dumps(result))
+
+
+def _pose_only_rate(run, n_lo, n_hi, reps=3) -> float:
+    """iterations/s from the slope between two in-jit iteration counts
+    (cancels the ~40-85 ms per-call dispatch+fetch overhead)."""
+    run(n_lo)  # compile both configs
+    run(n_hi)
+    t_lo = min(_timed(run, n_lo) for _ in range(reps))
+    t_hi = min(_timed(run, n_hi) for _ in range(reps))
+    return (n_hi - n_lo) / max(t_hi - t_lo, 1e-9)
+
+
+def _timed(run, n) -> float:
+    t0 = time.perf_counter()
+    run(n)
+    return time.perf_counter() - t0
+
+
+def bench_pose_only_mono() -> dict:
+    """Reference headline: mono 6-DoF, 300k observations, forced GN
+    iterations (test_compare_ceres_vs_native.cpp:91-275)."""
+    import jax.numpy as jnp
+
+    from bundle_adjustment_solver_tpu.solvers import pose_only
+
+    prob = mono_pose_only_problem(num_points=300_000, seed=7)
+    points = jax.device_put(jnp.asarray(prob.points, jnp.float32))
+    pixels = jax.device_put(jnp.asarray(prob.pixels, jnp.float32))
+    valid = jnp.ones(points.shape[0], bool)
+    intr = jnp.asarray(prob.intrinsics, jnp.float32)
+    pose0 = jnp.asarray(prob.pose_initial, jnp.float32)
+
+    def make_opts(n):
+        return Options(
+            convergence_handle=ConvergenceHandle(0.0, 0.0),  # run all n iters
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(n),
+        )
+
+    def run(n):
+        res = pose_only.solve_monocular_6dof_jax(
+            points, pixels, valid, intr, pose0, make_opts(n)
+        )
+        return _fetch(res.pose[0, 0])
+
+    n_obs = int(points.shape[0])
+    iters_per_s = _pose_only_rate(run, 100, 300)
+    value = n_obs * iters_per_s
+    return {
+        "metric": (
+            "pose_only_mono6dof_observations_x_GN-iterations_per_second_per_chip "
+            "(300k obs, forced-iteration GN, pallas=auto, "
+            f"gn_iters_per_s={iters_per_s:.1f})"
+        ),
+        "value": round(value, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+
+
+def bench_pose_only_batched_stereo() -> dict:
+    """BASELINE config 2: batched 6-DoF stereo pose-only over many frames
+    (the reference solves one frame per call; here one vmapped launch)."""
+    import jax.numpy as jnp
+
+    from bundle_adjustment_solver_tpu.solvers import pose_only
+
+    B = int(os.environ.get("BENCH_FRAMES", 2048))
+    P = int(os.environ.get("BENCH_FRAME_POINTS", 256))
+    prob = batched_stereo_pose_only_problem(
+        num_frames=B, points_per_frame=P, seed=11
+    )
+    pts = jax.device_put(jnp.asarray(prob.points, jnp.float32))
+    pixl = jax.device_put(jnp.asarray(prob.pixels_left, jnp.float32))
+    pixr = jax.device_put(jnp.asarray(prob.pixels_right, jnp.float32))
+    valid = jnp.ones((B, P), bool)
+    intr = jnp.asarray(prob.intrinsics, jnp.float32)
+    T_lr = jnp.asarray(prob.pose_left_to_right, jnp.float32)
+    poses0 = jnp.asarray(prob.poses_initial, jnp.float32)
+
+    def make_opts(n):
+        return Options(
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(n),
+        )
+
+    def run(n):
+        res = pose_only.solve_stereo_6dof_batched(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, make_opts(n)
+        )
+        return _fetch(res.pose[0, 0, 0])
+
+    # Stereo counts left + matched right residuals.
+    n_obs = int(B * P + (np.asarray(prob.pixels_right)[..., 0] >= 0).sum())
+    iters_per_s = _pose_only_rate(run, 20, 60)
+    value = n_obs * iters_per_s
+    return {
+        "metric": (
+            "pose_only_batched_stereo6dof_observations_x_GN-iterations_per_second_per_chip "
+            f"({B} frames x {P} pts, {n_obs} obs, vmapped forced-iteration GN, "
+            f"gn_iters_per_s={iters_per_s:.1f})"
+        ),
+        "value": round(value, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+
+
+def main():
+    details = []
+    flagship = None
+    if ONLY in ("all", "full"):
+        flagship = bench_full_ba()
+        details.append(flagship)
+    if ONLY in ("all", "pose"):
+        details.append(bench_pose_only_mono())
+        details.append(bench_pose_only_batched_stereo())
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAILS.json"),
+        "w",
+    ) as f:
+        json.dump(details, f, indent=1)
+    print(json.dumps(flagship if flagship is not None else details[0]))
     return 0
 
 

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
 
 DATA_AXIS = "data"
 
@@ -44,3 +45,30 @@ def initialize_distributed(
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+
+
+def to_global(tree, specs, mesh: Mesh):
+    """device_put every leaf of `tree` with the NamedSharding given by the
+    matching PartitionSpec in the prefix-pytree `specs`.
+
+    Single-host meshes get the same placement jit would infer; on a
+    MULTI-PROCESS mesh this is required -- jit cannot auto-shard host-local
+    arrays across processes, but `jax.device_put` with a global
+    NamedSharding can, provided every process passes identical data (true
+    here: each host builds the same seeded problem). A spec leaf may cover a
+    whole sub-pytree (e.g. a replicated CameraRig).
+    """
+    is_spec = lambda x: isinstance(x, P)
+    treedef = jax.tree.structure(specs, is_leaf=is_spec)
+    spec_leaves = jax.tree.leaves(specs, is_leaf=is_spec)
+    groups = treedef.flatten_up_to(tree)
+    out = [
+        jax.tree.map(
+            lambda a, s=s: jax.device_put(
+                np.asarray(a), NamedSharding(mesh, s)
+            ),
+            g,
+        )
+        for g, s in zip(groups, spec_leaves)
+    ]
+    return jax.tree.unflatten(treedef, out)

@@ -238,6 +238,30 @@ def _psum(x):
     return jax.lax.psum(x, DATA_AXIS)
 
 
+def problem_in_specs() -> "ShardedProblem":
+    """PartitionSpecs for every ShardedProblem field (landmark/observation
+    leaves split over the data axis, pose state + rig replicated). Public so
+    multi-host launchers can `mesh.to_global` the problem before jit."""
+    sh, rp = P(DATA_AXIS), P()
+    return ShardedProblem(
+        rig=rp,
+        R_cw=rp,
+        t_cw=rp,
+        points=sh,
+        point_opt_local=sh,
+        point_global=sh,
+        obs_cam=sh,
+        obs_pose=sh,
+        obs_point_local=sh,
+        obs_pixel=sh,
+        obs_pose_opt=sh,
+        obs_point_opt_local=sh,
+        obs_valid=sh,
+        opt_pose_idx=rp,
+        opt_point_local=sh,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("sshape", "options")
 )
@@ -249,23 +273,7 @@ def _solve_sharded_jax(
     pspec_sharded = P(DATA_AXIS)
     pspec_repl = P()
 
-    in_specs = ShardedProblem(
-        rig=pspec_repl,
-        R_cw=pspec_repl,
-        t_cw=pspec_repl,
-        points=pspec_sharded,
-        point_opt_local=pspec_sharded,
-        point_global=pspec_sharded,
-        obs_cam=pspec_sharded,
-        obs_pose=pspec_sharded,
-        obs_point_local=pspec_sharded,
-        obs_pixel=pspec_sharded,
-        obs_pose_opt=pspec_sharded,
-        obs_point_opt_local=pspec_sharded,
-        obs_valid=pspec_sharded,
-        opt_pose_idx=pspec_repl,
-        opt_point_local=pspec_sharded,
-    )
+    in_specs = problem_in_specs()
     out_specs = ShardedBAState(
         poses_world_to_camera=pspec_repl,
         points=pspec_sharded,

@@ -69,6 +69,47 @@ def _local_shape(pshape: PMShape, num_shards: int) -> PMShape:
     )
 
 
+def pm_in_specs() -> PointMajorProblem:
+    """PartitionSpecs for the point-major planes (landmark lane axis split
+    over the data axis at block granularity). Public so multi-host launchers
+    can `mesh.to_global` the planes before jit."""
+    return PointMajorProblem(
+        obs_f32=P(None, DATA_AXIS),
+        slot_pose=P(None, DATA_AXIS),
+        slot_opt=P(None, DATA_AXIS),
+        X=P(None, DATA_AXIS),
+        point_ref=P(DATA_AXIS),
+        gbase=P(DATA_AXIS),
+        sbase=P(DATA_AXIS),
+    )
+
+
+def comm_volume_model(
+    num_opt_poses: int, cg_iterations: int, dtype_bytes: int = 4
+) -> dict:
+    """Per-LM-iteration all-reduce (psum) volume of the sharded PM engine,
+    as machine-readable bytes (the prose model in the module docstring).
+
+    Counted from the `_psum` call sites in `_device_program`:
+      - assembly panel (N_opt, 32): once per LM iteration;
+      - matvec pose-correction (N_opt, 6): once per CG iteration;
+      - scalars (candidate cost, predicted point decrease, point step norm):
+        three per LM iteration (plus once-per-solve n_params/RMSE scalars,
+        excluded here).
+    """
+    assembly = num_opt_poses * 32 * dtype_bytes
+    per_cg = num_opt_poses * 6 * dtype_bytes
+    scalars = 3 * dtype_bytes
+    return {
+        "num_opt_poses": num_opt_poses,
+        "cg_iterations_per_lm": cg_iterations,
+        "assembly_panel_bytes": assembly,
+        "cg_matvec_bytes_per_cg_iter": per_cg,
+        "scalar_bytes_per_lm_iter": scalars,
+        "total_bytes_per_lm_iter": assembly + cg_iterations * per_cg + scalars,
+    }
+
+
 @functools.partial(
     jax.jit, static_argnames=("pshape", "options", "num_shards", "interpret")
 )
@@ -86,15 +127,7 @@ def _solve_sharded_pm_jax(
     mesh = data_mesh(num_shards)
     lshape = _local_shape(pshape, num_shards)
 
-    pm_specs = PointMajorProblem(
-        obs_f32=P(None, DATA_AXIS),
-        slot_pose=P(None, DATA_AXIS),
-        slot_opt=P(None, DATA_AXIS),
-        X=P(None, DATA_AXIS),
-        point_ref=P(DATA_AXIS),
-        gbase=P(DATA_AXIS),
-        sbase=P(DATA_AXIS),
-    )
+    pm_specs = pm_in_specs()
     out_specs = (
         P(),  # R_cw
         P(),  # t_cw
