@@ -207,13 +207,63 @@ def bench_pose_only_mono() -> dict:
         )
         return _fetch(res.pose[0, 0])
 
+    # 1000/3000 iterations: the fused kernel runs ~24k GN iters/s, so the
+    # iteration-count delta must dwarf the ~40-85 ms dispatch jitter.
     n_obs = int(points.shape[0])
-    iters_per_s = _pose_only_rate(run, 100, 300)
+    iters_per_s = _pose_only_rate(run, 1000, 3000)
     value = n_obs * iters_per_s
     return {
         "metric": (
             "pose_only_mono6dof_observations_x_GN-iterations_per_second_per_chip "
             "(300k obs, forced-iteration GN, pallas=auto, "
+            f"gn_iters_per_s={iters_per_s:.1f})"
+        ),
+        "value": round(value, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+
+
+def bench_pose_only_stereo_single() -> dict:
+    """Stereo 6-DoF on one 300k-point frame: the fused two-camera kernel
+    (reference cpp:172-399 workload at test_compare scale)."""
+    import jax.numpy as jnp
+
+    from bundle_adjustment_solver_tpu.solvers import pose_only
+
+    prob = batched_stereo_pose_only_problem(
+        num_frames=1, points_per_frame=300_000, seed=5, drop_right_frac=0.1
+    )
+    pts = jax.device_put(jnp.asarray(prob.points[0], jnp.float32))
+    pixl = jax.device_put(jnp.asarray(prob.pixels_left[0], jnp.float32))
+    pixr = jax.device_put(jnp.asarray(prob.pixels_right[0], jnp.float32))
+    valid = jnp.ones(pts.shape[0], bool)
+    intr = jnp.asarray(prob.intrinsics, jnp.float32)
+    T_lr = jnp.asarray(prob.pose_left_to_right, jnp.float32)
+    pose0 = jnp.asarray(prob.poses_initial[0], jnp.float32)
+
+    def make_opts(n):
+        return Options(
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(n),
+        )
+
+    def run(n):
+        res = pose_only.solve_stereo_6dof_jax(
+            pts, pixl, pixr, valid, intr, intr, T_lr, pose0, make_opts(n)
+        )
+        return _fetch(res.pose[0, 0])
+
+    n_obs = int(pts.shape[0]) + int(
+        (np.asarray(prob.pixels_right[0])[:, 0] >= 0).sum()
+    )
+    iters_per_s = _pose_only_rate(run, 1000, 3000)
+    value = n_obs * iters_per_s
+    return {
+        "metric": (
+            "pose_only_stereo6dof_observations_x_GN-iterations_per_second_per_chip "
+            f"(1 frame x 300k pts, {n_obs} obs, fused two-camera kernel, "
             f"gn_iters_per_s={iters_per_s:.1f})"
         ),
         "value": round(value, 1),
@@ -243,10 +293,14 @@ def bench_pose_only_batched_stereo() -> dict:
     poses0 = jnp.asarray(prob.poses_initial, jnp.float32)
 
     def make_opts(n):
+        # record_history=False: the reference's summary==nullptr mode; at
+        # thousands of frames the (B, max_iter, .) history carries dominate
+        # the while-loop otherwise.
         return Options(
             convergence_handle=ConvergenceHandle(0.0, 0.0),
             outlier_handle=OutlierHandle(1.0, 2.5),
             iteration_handle=IterationHandle(n),
+            record_history=False,
         )
 
     def run(n):
@@ -279,6 +333,7 @@ def main():
         details.append(flagship)
     if ONLY in ("all", "pose"):
         details.append(bench_pose_only_mono())
+        details.append(bench_pose_only_stereo_single())
         details.append(bench_pose_only_batched_stereo())
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -34,40 +34,19 @@ _NUM_STATS = 28
 _TRIU = [(i, j) for i in range(6) for j in range(i, 6)]
 
 
-def _gn_kernel(
-    rt_ref,  # (3, 4) SMEM: [R | t] of T_cw
-    intr_ref,  # (1, 4) SMEM: fx, fy, cx, cy
-    x_ref,
-    y_ref,
-    z_ref,  # (T, 128) point planes (reference frame)
-    pu_ref,
-    pv_ref,  # (T, 128) pixel planes
-    valid_ref,  # (T, 128) 1.0 / 0.0
-    out_ref,  # (1, 128) per-tile stats (first _NUM_STATS lanes)
-    *,
-    huber: float,
-):
-    x = x_ref[:]
-    y = y_ref[:]
-    z = z_ref[:]
-    valid = valid_ref[:]
-
-    # Warp into the camera frame.
-    xc = rt_ref[0, 0] * x + rt_ref[0, 1] * y + rt_ref[0, 2] * z + rt_ref[0, 3]
-    yc = rt_ref[1, 0] * x + rt_ref[1, 1] * y + rt_ref[1, 2] * z + rt_ref[1, 3]
-    zc = rt_ref[2, 0] * x + rt_ref[2, 1] * y + rt_ref[2, 2] * z + rt_ref[2, 3]
+def _camera_stats(xc, yc, zc, pu, pv, fx, fy, cx, cy, valid, huber):
+    """Per-camera GN statistics on (T, 128) planes already warped into the
+    camera frame: the 28 tile-reduced scalars (21 upper JtWJ + 6 JtWr +
+    robust cost). The Jacobian is taken w.r.t. a perturbation in THIS
+    camera's frame (for stereo right this matches the reference's
+    right-frame linearization, cpp:304-307)."""
     zc = jnp.where(valid > 0, zc, 1.0)  # padding-safe reciprocal
-
-    fx = intr_ref[0, 0]
-    fy = intr_ref[0, 1]
-    cx = intr_ref[0, 2]
-    cy = intr_ref[0, 3]
 
     inv_z = 1.0 / zc
     xiz = xc * inv_z
     yiz = yc * inv_z
-    ru = fx * xiz + cx - pu_ref[:]
-    rv = fy * yiz + cy - pv_ref[:]
+    ru = fx * xiz + cx - pu
+    rv = fy * yiz + cy - pv
 
     # Manhattan-Huber weight (cpp:1402-1410), zeroed on padding.
     man = jnp.abs(ru) + jnp.abs(rv)
@@ -101,10 +80,79 @@ def _gn_kernel(
     for a in range(6):  # 6 gradient entries J^T W r
         stats.append(jnp.sum(wru * ju[a] + wrv * jv[a]))
     stats.append(jnp.sum(w * (ru * ru + rv * rv)))  # robust cost
+    return stats
 
-    vec = jnp.stack(stats)  # (28,)
+
+def _warp(rt_ref, x, y, z):
+    """Apply the (3, 4) SMEM [R | t] to three coordinate planes."""
+    xc = rt_ref[0, 0] * x + rt_ref[0, 1] * y + rt_ref[0, 2] * z + rt_ref[0, 3]
+    yc = rt_ref[1, 0] * x + rt_ref[1, 1] * y + rt_ref[1, 2] * z + rt_ref[1, 3]
+    zc = rt_ref[2, 0] * x + rt_ref[2, 1] * y + rt_ref[2, 2] * z + rt_ref[2, 3]
+    return xc, yc, zc
+
+
+def _write_stats(out_ref, stats):
+    vec = jnp.stack(stats)
     out_ref[:] = jnp.zeros((SUBLANE, LANE), vec.dtype)
     out_ref[0, : _NUM_STATS] = vec
+
+
+def _gn_kernel(
+    rt_ref,  # (3, 4) SMEM: [R | t] of T_cw
+    intr_ref,  # (1, 4) SMEM: fx, fy, cx, cy
+    x_ref,
+    y_ref,
+    z_ref,  # (T, 128) point planes (reference frame)
+    pu_ref,
+    pv_ref,  # (T, 128) pixel planes
+    valid_ref,  # (T, 128) 1.0 / 0.0
+    out_ref,  # (1, 128) per-tile stats (first _NUM_STATS lanes)
+    *,
+    huber: float,
+):
+    xc, yc, zc = _warp(rt_ref, x_ref[:], y_ref[:], z_ref[:])
+    stats = _camera_stats(
+        xc, yc, zc, pu_ref[:], pv_ref[:],
+        intr_ref[0, 0], intr_ref[0, 1], intr_ref[0, 2], intr_ref[0, 3],
+        valid_ref[:], huber,
+    )
+    _write_stats(out_ref, stats)
+
+
+def _gn_stereo_kernel(
+    rt_ref,  # (3, 4) SMEM: [R | t] of T_cw (left)
+    rt_rl_ref,  # (3, 4) SMEM: [R | t] of right<-left rig extrinsic
+    intr_ref,  # (2, 4) SMEM: rows (fxl, fyl, cxl, cyl), (fxr, fyr, cxr, cyr)
+    x_ref,
+    y_ref,
+    z_ref,  # (T, 128) point planes (reference frame)
+    pul_ref,
+    pvl_ref,  # (T, 128) left pixel planes
+    vl_ref,  # (T, 128) left validity 1.0 / 0.0
+    pur_ref,
+    pvr_ref,  # (T, 128) right pixel planes
+    vr_ref,  # (T, 128) right validity (0 where no right match, cpp:298)
+    out_ref,
+    *,
+    huber: float,
+):
+    """Fused STEREO 6-DoF GN statistics (reference cpp:172-399): both
+    cameras' contributions in one pass over the shared point planes -- the
+    left warp is reused for the right camera's chained warp, and the 28
+    output scalars already hold JtWJ_l + JtWJ_r etc."""
+    xl, yl, zl = _warp(rt_ref, x_ref[:], y_ref[:], z_ref[:])
+    sl = _camera_stats(
+        xl, yl, zl, pul_ref[:], pvl_ref[:],
+        intr_ref[0, 0], intr_ref[0, 1], intr_ref[0, 2], intr_ref[0, 3],
+        vl_ref[:], huber,
+    )
+    xr, yr, zr = _warp(rt_rl_ref, xl, yl, zl)
+    sr = _camera_stats(
+        xr, yr, zr, pur_ref[:], pvr_ref[:],
+        intr_ref[1, 0], intr_ref[1, 1], intr_ref[1, 2], intr_ref[1, 3],
+        vr_ref[:], huber,
+    )
+    _write_stats(out_ref, [a + b for a, b in zip(sl, sr)])
 
 
 @functools.partial(jax.jit, static_argnames=("huber", "interpret"))
@@ -156,6 +204,56 @@ def pose_only_gn_stats(
     g = stats[21:27]
     cost = stats[27]
     return JtWJ, g, cost
+
+
+@functools.partial(jax.jit, static_argnames=("huber", "interpret"))
+def pose_only_gn_stats_stereo(
+    rt: jax.Array,  # (3, 4) [R | t] of T_cw (left)
+    rt_rl: jax.Array,  # (3, 4) [R | t] of the right<-left rig extrinsic
+    intrinsics: jax.Array,  # (2, 4): left row, right row
+    x: jax.Array,  # (rows, 128) point planes
+    y: jax.Array,
+    z: jax.Array,
+    pul: jax.Array,  # (rows, 128) left pixel planes
+    pvl: jax.Array,
+    vl: jax.Array,  # (rows, 128) f32 1/0
+    pur: jax.Array,  # (rows, 128) right pixel planes
+    pvr: jax.Array,
+    vr: jax.Array,
+    huber: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns the summed left+right (JtWJ (6, 6), JtWr (6,), cost ())."""
+    rows = x.shape[0]
+    tile = min(_TILE_ROWS, rows)
+    grid = (pl.cdiv(rows, tile),)
+    plane_spec = pl.BlockSpec(
+        (tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem34 = pl.BlockSpec((3, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    partial_stats = pl.pallas_call(
+        functools.partial(_gn_stereo_kernel, huber=huber),
+        grid=grid,
+        in_specs=[
+            smem34,
+            smem34,
+            pl.BlockSpec((2, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [plane_spec] * 9,
+        out_specs=pl.BlockSpec(
+            (SUBLANE, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * SUBLANE, LANE), x.dtype),
+        interpret=interpret,
+    )(rt, rt_rl, intrinsics, x, y, z, pul, pvl, vl, pur, pvr, vr)
+
+    stats = jnp.sum(partial_stats, axis=0)[:_NUM_STATS]
+    triu_rows = jnp.asarray([a for a, _ in _TRIU])
+    triu_cols = jnp.asarray([b for _, b in _TRIU])
+    JtWJ = jnp.zeros((6, 6), x.dtype)
+    JtWJ = JtWJ.at[triu_rows, triu_cols].set(stats[:21])
+    JtWJ = JtWJ.at[triu_cols, triu_rows].set(stats[:21])
+    return JtWJ, stats[21:27], stats[27]
 
 
 def pack_problem_planes(points: jax.Array, pixels: jax.Array, valid: jax.Array):

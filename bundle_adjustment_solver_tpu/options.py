@@ -103,6 +103,13 @@ class Options:
     # profitable, XLA elsewhere) | 'never' | 'always' | 'interpret' (CPU
     # debugging).
     pallas: str = "auto"
+    # Record per-iteration info rows and the debug-pose trace (pose-only
+    # solvers). False mirrors the reference's `summary == nullptr` mode
+    # (pose_only cpp:128-147: no OptimizationInfo is pushed): history
+    # buffers shrink to one row, which removes the dominant per-iteration
+    # cost of the BATCHED solvers (masked selects + dynamic-update-slices
+    # on (frames, max_iter, .) carries -- profiled on v5e).
+    record_history: bool = True
     # Pose-only inlier-mask semantics. 'final' (default) reports the mask of
     # the final evaluated iteration; 'reference' reproduces the reference's
     # sticky accumulation from iteration 0 (pose_only cpp:95-98: a point

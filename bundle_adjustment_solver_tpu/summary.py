@@ -87,7 +87,9 @@ class Summary:
             final_reprojection_rmse_px=float(final_rmse_px),
         )
         info = np.asarray(info)
-        n = int(num_iterations)
+        # With Options.record_history=False the buffer holds one row (the
+        # reference's summary==nullptr mode): report only what exists.
+        n = min(int(num_iterations), info.shape[0])
         for i in range(n):
             row = info[i]
             summary.optimization_info_list.append(

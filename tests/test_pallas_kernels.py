@@ -125,3 +125,115 @@ class TestPallasSolverPath:
         assert ok_x and ok_p
         np.testing.assert_allclose(pose_p, pose_x, atol=1e-4)
         assert mask_p.all() == mask_x.all()
+
+
+class TestPoseOnlyGNStereoKernel:
+    def test_matches_jnp_path(self, rng):
+        from bundle_adjustment_solver_tpu.ops.pallas.pose_only_gn import (
+            pose_only_gn_stats_stereo,
+        )
+
+        P = 5000
+        pts = rng.normal(0, 2, (P, 3)).astype(np.float32)
+        pts[:, 2] += 5
+        R, t = _random_pose(rng)
+        pixl = rng.uniform(0, 640, (P, 2)).astype(np.float32)
+        pixr = rng.uniform(0, 640, (P, 2)).astype(np.float32)
+        valid = rng.uniform(size=P) > 0.1
+        valid_r = valid & (rng.uniform(size=P) > 0.2)  # dropped right matches
+
+        T_rl = np.eye(4, dtype=np.float32)
+        T_rl[0, 3] = -0.12  # right <- left baseline
+        R_rl, t_rl = T_rl[:3, :3], T_rl[:3, 3]
+
+        x, y, z, pul, pvl, vl, _ = pack_problem_planes(
+            jnp.asarray(pts), jnp.asarray(pixl), jnp.asarray(valid)
+        )
+        pur, pvr, vr = pack_problem_planes(
+            jnp.asarray(pts), jnp.asarray(pixr), jnp.asarray(valid_r)
+        )[3:6]
+        rt = jnp.asarray(np.concatenate([R, t[:, None]], axis=1))
+        rt_rl = jnp.asarray(np.concatenate([R_rl, t_rl[:, None]], axis=1))
+        intr2 = jnp.asarray(
+            [[338.0, 338.0, 320.0, 240.0], [340.0, 336.0, 321.0, 239.0]],
+            jnp.float32,
+        )
+        JtWJ, g, cost = pose_only_gn_stats_stereo(
+            rt, rt_rl, intr2, x, y, z, pul, pvl, vl, pur, pvr, vr,
+            huber=1.0, interpret=True,
+        )
+
+        def cam_ref(Xc, pix, intr, v):
+            r, w, _ = residual_and_weight(
+                jnp.asarray(Xc), jnp.asarray(pix),
+                intr[0], intr[1], intr[2], intr[3], 1.0,
+            )
+            J = pose_only_jacobian_6dof(jnp.asarray(Xc), intr[0], intr[1])
+            wv = w * jnp.asarray(v, jnp.float32)
+            Jw = J * wv[:, None, None]
+            return (
+                jnp.einsum("pri,prj->ij", Jw, J),
+                jnp.einsum("pri,pr->i", Jw, r),
+                jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2)),
+            )
+
+        Xl = pts @ R.T + t
+        Xr = Xl @ R_rl.T + t_rl
+        Hl, gl, cl = cam_ref(Xl, pixl, intr2[0], valid)
+        Hr, gr, cr = cam_ref(Xr, pixr, intr2[1], valid_r)
+        JtWJ_ref = Hl + Hr
+        g_ref = gl + gr
+        cost_ref = cl + cr
+
+        scale = float(jnp.abs(JtWJ_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(JtWJ), np.asarray(JtWJ_ref), rtol=2e-5,
+            atol=1e-6 * scale,
+        )
+        g_scale = float(jnp.abs(g_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-5, atol=1e-6 * g_scale
+        )
+        np.testing.assert_allclose(float(cost), float(cost_ref), rtol=2e-5)
+
+
+class TestPallasStereoSolverPath:
+    def test_stereo_6dof_pallas_matches_xla_path(self):
+        from bundle_adjustment_solver_tpu.options import (
+            ConvergenceHandle,
+            IterationHandle,
+            Options,
+            OutlierHandle,
+        )
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            batched_stereo_pose_only_problem,
+        )
+
+        prob = batched_stereo_pose_only_problem(
+            num_frames=1, points_per_frame=2000, seed=5, drop_right_frac=0.2
+        )
+        base = Options(
+            convergence_handle=ConvergenceHandle(1e-6, 1e-6),
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(50),
+        )
+        args = (
+            prob.points[0], prob.pixels_left[0], prob.pixels_right[0],
+            prob.intrinsics, prob.intrinsics, prob.pose_left_to_right,
+            prob.poses_initial[0],
+        )
+        pose_x, ml_x, mr_x, _, ok_x = pose_only.solve_stereo_6dof(
+            *args, base.replace(pallas="never")
+        )
+        pose_p, ml_p, mr_p, _, ok_p = pose_only.solve_stereo_6dof(
+            *args, base.replace(pallas="interpret")
+        )
+        assert ok_x and ok_p
+        np.testing.assert_allclose(pose_p, pose_x, atol=2e-5)
+        assert (ml_p == ml_x).mean() > 0.99
+        assert (mr_p == mr_x).mean() > 0.99
+        # And the pallas path must recover the generator's truth.
+        np.testing.assert_allclose(
+            pose_p, prob.poses_true[0], atol=1e-3
+        )

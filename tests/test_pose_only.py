@@ -406,3 +406,51 @@ class TestStickyOutlierMask:
         # f32 engine vs f64 replay: allow a tiny boundary band.
         disagree = mask != expected
         assert disagree.mean() < 0.005, disagree.sum()
+
+
+class TestRecordHistory:
+    """Options.record_history=False mirrors the reference's summary==nullptr
+    mode (pose_only cpp:128-147: no OptimizationInfo pushed): identical
+    optimization, one-row history buffers."""
+
+    def test_solution_identical_without_history(self):
+        import jax.numpy as jnp
+
+        prob = mono_pose_only_problem(num_points=1500, seed=13, pixel_noise=0.4)
+        opts = make_options(max_iter=40)
+        points = jnp.asarray(prob.points, jnp.float32)
+        pixels = jnp.asarray(prob.pixels, jnp.float32)
+        valid = jnp.ones(points.shape[0], bool)
+        intr = jnp.asarray(prob.intrinsics, jnp.float32)
+        p0 = jnp.asarray(prob.pose_initial, jnp.float32)
+        full = pose_only.solve_monocular_6dof_jax(
+            points, pixels, valid, intr, p0, opts
+        )
+        slim = pose_only.solve_monocular_6dof_jax(
+            points, pixels, valid, intr, p0,
+            opts.replace(record_history=False),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slim.pose), np.asarray(full.pose)
+        )
+        assert int(slim.num_iterations) == int(full.num_iterations)
+        assert slim.info.shape[0] == 1
+        assert slim.debug_poses.shape[0] == 1
+        # The single retained row is the last recorded one.
+        np.testing.assert_array_equal(
+            np.asarray(slim.debug_poses[0]),
+            np.asarray(full.debug_poses[int(full.num_debug) - 1]),
+        )
+
+    def test_planar_history_off(self):
+        import jax.numpy as jnp
+
+        tp = TestPlanar3Dof()
+        p = tp._make_problem(seed=9)
+        opts = make_options(max_iter=60).replace(record_history=False)
+        pose, mask, summary, ok = pose_only.solve_monocular_planar3dof(
+            p["points"], p["pixels"], p["intrinsics"], p["base_to_camera"],
+            p["T_wlast"], p["T_wc_init"], opts,
+        )
+        assert ok
+        assert np.abs(pose - p["T_wc_true"]).max() < 1e-3
