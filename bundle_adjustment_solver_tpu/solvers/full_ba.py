@@ -224,13 +224,16 @@ def _resolve_mode(shape: ProblemShape, options: Options) -> str:
     return "cg"
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "options", "mode"))
-def _solve_jax(
+def _loop_pieces(
     problem: FinalizedProblem,
     shape: ProblemShape,
     options: Options,
     mode: str,
-) -> FullBAState:
+):
+    """The LM loop's (cond, body, eval_cost) closures -- shared by the
+    all-device `_solve_jax` while_loop and the chunked-dispatch
+    `Options.time_iterations` driver (which jits `body` alone per step so
+    the host can wall-clock each iteration, reference cpp:981-992)."""
     opts = options
     max_iter = opts.iteration_handle.max_num_iterations
     huber = opts.outlier_handle.threshold_huber_loss * shape.scale
@@ -367,12 +370,25 @@ def _solve_jax(
     def cond(c: _Carry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
 
+    return cond, body, eval_cost
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "options", "mode"))
+def _init_carry_jax(
+    problem: FinalizedProblem,
+    shape: ProblemShape,
+    options: Options,
+    mode: str,
+) -> _Carry:
+    _, _, eval_cost = _loop_pieces(problem, shape, options, mode)
+    dtype = problem.points.dtype
+    max_iter = options.iteration_handle.max_num_iterations
     initial_cost = eval_cost(problem.R_cw, problem.t_cw, problem.points)
-    carry0 = _Carry(
+    return _Carry(
         R_cw=problem.R_cw,
         t_cw=problem.t_cw,
         X=problem.points,
-        lam=jnp.asarray(tr.initial_lambda, dtype),
+        lam=jnp.asarray(options.trust_region_handle.initial_lambda, dtype),
         prev_cost=initial_cost,
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
@@ -380,8 +396,45 @@ def _solve_jax(
         info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
         num_info=jnp.asarray(0, jnp.int32),
     )
-    carry = jax.lax.while_loop(cond, body, carry0)
 
+
+@functools.partial(jax.jit, static_argnames=("shape", "options", "mode"))
+def _step_jax(
+    problem: FinalizedProblem,
+    shape: ProblemShape,
+    options: Options,
+    mode: str,
+    carry: _Carry,
+) -> _Carry:
+    """ONE LM iteration (the while_loop body) as its own dispatch, for the
+    chunked-dispatch timing mode."""
+    _, body, _ = _loop_pieces(problem, shape, options, mode)
+    return body(carry)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "options", "mode"))
+def _solve_jax(
+    problem: FinalizedProblem,
+    shape: ProblemShape,
+    options: Options,
+    mode: str,
+) -> FullBAState:
+    cond, body, _ = _loop_pieces(problem, shape, options, mode)
+    carry0 = _init_carry_jax(problem, shape, options, mode)
+    carry = jax.lax.while_loop(cond, body, carry0)
+    return _finalize_state_jax(problem, shape, options, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "options"))
+def _finalize_state_jax(
+    problem: FinalizedProblem,
+    shape: ProblemShape,
+    options: Options,
+    carry: _Carry,
+) -> FullBAState:
+    dtype = problem.points.dtype
+    inv_scale = 1.0 / shape.scale
+    huber = options.outlier_handle.threshold_huber_loss * shape.scale
     # Write-back: unscale translations/points, re-invert poses (cpp:1010-1022).
     t_user = carry.t_cw * inv_scale
     R_wc, t_wc = inverse_se3(carry.R_cw, t_user)
@@ -420,6 +473,9 @@ def solve(
     `host` (from finalized_from_arrays(return_host=True) or the builder's
     finalize()) lets the point-major layout build avoid device readback."""
     mode = _resolve_mode(shape, options)
+    timed = getattr(options, "time_iterations", False)
+    if mode == "pm" and timed:
+        mode = "cg"  # chunked timing not supported by the PM engine
     if mode == "pm":
         from . import full_ba_pm  # local import to avoid cycle
 
@@ -427,9 +483,36 @@ def solve(
             return full_ba_pm.solve_pm(problem, shape, options, host=host)
         except ValueError:
             mode = "cg"  # exceeds point-major static bounds
-    t0 = time.perf_counter()
-    state = jax.block_until_ready(_solve_jax(problem, shape, options, mode))
-    total_ms = (time.perf_counter() - t0) * 1e3
+
+    iter_times_ms = None
+    if timed:
+        # Chunked-dispatch reporting mode (reference iter_time parity,
+        # full cpp:981-992): jit ONE LM iteration per dispatch and
+        # wall-clock it on the host. Through a device tunnel each lap
+        # includes the dispatch+fetch overhead; on a directly attached
+        # device it is the true per-iteration wall time the reference
+        # reports.
+        max_iter = options.iteration_handle.max_num_iterations
+        t0 = time.perf_counter()
+        carry = _init_carry_jax(problem, shape, options, mode)
+        float(np.asarray(carry.prev_cost))  # sync (tunnel-safe fetch)
+        iter_times_ms = []
+        for _ in range(max_iter):
+            t_it = time.perf_counter()
+            carry = _step_jax(problem, shape, options, mode, carry)
+            done = bool(np.asarray(carry.done))  # fetch doubles as sync
+            iter_times_ms.append((time.perf_counter() - t_it) * 1e3)
+            if done:
+                break
+        state = jax.block_until_ready(
+            _finalize_state_jax(problem, shape, options, carry)
+        )
+        total_ms = (time.perf_counter() - t0) * 1e3
+        iter_times_ms = np.asarray(iter_times_ms)
+    else:
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(_solve_jax(problem, shape, options, mode))
+        total_ms = (time.perf_counter() - t0) * 1e3
     summary = Summary.from_device_buffers(
         info=np.asarray(state.info),
         num_iterations=int(state.num_info),
@@ -438,6 +521,7 @@ def solve(
         threshold_step_size=options.convergence_handle.threshold_step_size,
         threshold_cost_change=options.convergence_handle.threshold_cost_change,
         total_time_ms=total_ms,
+        iter_times_ms=iter_times_ms,
         final_rmse_px=float(state.final_rmse_px),
     )
     return state, summary

@@ -242,3 +242,34 @@ class TestBuilderValidation:
         stats = solver.get_solver_statistics()
         assert "# of total poses: 6" in stats
         assert "# fix  poses: 1" in stats
+
+
+class TestTimedIterations:
+    """Options.time_iterations=True: chunked-dispatch reporting mode fills
+    the reference's per-iteration iter_time (full cpp:981-992) while
+    producing the identical solve."""
+
+    def test_iter_times_recorded_and_solution_identical(self):
+        prob = stereo_ba_problem(num_poses=8, num_fixed_poses=2, seed=21)
+        solver = build_solver(prob)
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(1e-8, 1e-8),
+            iteration_handle=IterationHandle(30),
+            reduced_system="dense",
+        )
+        s_plain = solver.solve(opts)
+        poses_plain = solver.get_all_poses().copy()
+
+        solver2 = build_solver(prob)
+        s_timed = solver2.solve(opts.replace(time_iterations=True))
+        poses_timed = solver2.get_all_poses()
+
+        np.testing.assert_allclose(poses_timed, poses_plain, atol=1e-6)
+        infos = s_timed.optimization_info_list
+        assert len(infos) == len(s_plain.optimization_info_list)
+        assert all(oi.iter_time > 0.0 for oi in infos)
+        # The on-device loop reports -1 (no host timing inside jit).
+        assert all(oi.iter_time == -1.0 for oi in s_plain.optimization_info_list)
+        # brief_report prints the real numbers.
+        assert "itr_time" in s_timed.brief_report()
