@@ -122,7 +122,30 @@ def main() -> int:
             {"devices": n_dev, "time_s": dt, "speedup": speedup,
              "efficiency": eff, "final_cost": cost}
         )
+    from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
+        comm_volume_model,
+    )
+
+    artifact = {
+        "impl": args.impl,
+        "backend": jax.default_backend(),
+        "problem": {
+            "poses": args.poses, "points": args.points,
+            "observations": shape.num_observations, "window": args.window,
+            "lm_iterations": args.iters,
+        },
+        # Virtual-CPU runs measure ALGORITHMIC scaling only (honest flag);
+        # the psum byte counts below are exact either way.
+        "algorithmic_only": jax.default_backend() == "cpu",
+        "comm_model_per_lm_iteration": comm_volume_model(
+            shape.num_opt_poses, options.cg_max_iterations
+        ),
+        "scaling": rows,
+    }
+    out = pathlib.Path(__file__).resolve().parents[1] / "SCALING.json"
+    out.write_text(json.dumps(artifact, indent=1))
     print(json.dumps({"scaling": rows}))
+    print(f"wrote {out}")
     return 0
 
 

@@ -107,7 +107,54 @@ def main() -> int:
             f" {'OK' if ok else 'MISMATCH'}"
         )
         failures += 0 if ok else 1
-    print(f"{n_cases - failures}/{n_cases} cases match")
+
+    # STRICT sweep: noise-free, well-conditioned cases (no dropout, no
+    # loop-closure rewiring, mild perturbations). These are effectively
+    # convex around the noise-free optimum -- a unique global minimum both
+    # engines MUST hit, so the equal-or-better escape hatch above does not
+    # apply and agreement is demanded tightly. This keeps the tool's
+    # bug-finding power after the nonconvex-case loosening (commit 6c4e1ca).
+    for case in range(n_cases):
+        n_poses = int(rng.integers(8, 60))
+        n_points = int(rng.integers(150, 1200))
+        window = int(rng.integers(2, min(6, n_poses - 2)))
+        n_fixed = int(rng.integers(1, 3))
+        seed = int(rng.integers(0, 10_000))
+        prob = corridor_ba_problem(
+            num_poses=n_poses, num_points=n_points, window=window,
+            seed=seed, num_fixed_poses=n_fixed,
+            point_error=0.05, pose_translation_error=0.01,
+        )
+        fixed = np.zeros(n_poses, bool)
+        fixed[prob.fixed_pose_ids] = True
+        problem, shape = finalized_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed,
+        )
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(25),
+            reduced_system="cg", cg_max_iterations=60, cg_tolerance=1e-10,
+        )
+        s_ref, _ = full_ba.solve(problem, shape, opts)
+        s_pm, _ = solve_pm(problem, shape, opts)
+        c_ref = float(s_ref.final_cost)
+        c_pm = float(s_pm.final_cost)
+        rmse_ref = float(s_ref.final_rmse_px)
+        rmse_pm = float(s_pm.final_rmse_px)
+        rel = abs(c_pm - c_ref) / max(abs(c_ref), 1e-6)
+        ok = rel < 1e-3 and rmse_pm < 0.02 and rmse_ref < 0.02
+        print(
+            f"strict {case}: N={n_poses} M={n_points} w={window}"
+            f" ref={c_ref:.6f} pm={c_pm:.6f} rel={rel:.2e}"
+            f" rmse=({rmse_ref:.4f},{rmse_pm:.4f})"
+            f" {'OK' if ok else 'MISMATCH'}"
+        )
+        failures += 0 if ok else 1
+
+    print(f"{2 * n_cases - failures}/{2 * n_cases} cases match")
     return 1 if failures else 0
 
 
