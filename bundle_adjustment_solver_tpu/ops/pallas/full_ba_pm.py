@@ -381,6 +381,15 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     sbase = sbase_ref[i]
     idx_s = sopt_ref[:] - sbase  # (Kp, bm)
 
+    # One-hot chunks built ONCE and shared by the gather and the scatter
+    # (their dots contract the same (chunk, Kp*bm) operand on opposite
+    # sides); building it twice paid the iota+compare cost twice.
+    ch = min(P, _WINDOW_CHUNK)
+    ohs = [
+        (c0, _onehot_flat(idx_s - c0, ch, jnp.bfloat16))
+        for c0 in range(0, P, ch)
+    ]
+
     # Full-sublane (Kp, bm) planes, upcast once from the storage dtype.
     U = [U_ref[e].astype(jnp.float32) for e in range(18)]
 
@@ -392,9 +401,13 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         # Gather x at every slot's pose in wide chunked dots (fixed slots
         # gather zeros), then t = sum_slots U^T x (pass 1 of the S matvec);
         # all element math runs on full-sublane (Kp, bm) planes.
-        xg_all = _gather_window_hilo(
-            x_tbl_ref, sbase, P, idx_s, 8
-        ).reshape(8, Kp, bm)
+        xg = None
+        for c0, oh in ohs:
+            part = _gather_rows_hilo(
+                x_tbl_ref[pl.ds(sbase + c0, ch), :], oh, 8
+            )
+            xg = part if xg is None else xg + part
+        xg_all = xg.reshape(8, Kp, bm)
         t = []
         for cpt in range(3):
             acc = U[cpt] * xg_all[0]
@@ -413,14 +426,20 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
     v2 = ci[2] * t[0] + ci[4] * t[1] + ci[5] * t[2]
 
     # w_slot = U v ((1, bm) v broadcasts over the Kp sublanes), scattered
-    # back to the pose panel in one wide dot.
+    # back to the pose panel in one wide dot per chunk.
     rows = []
     for a_ in range(6):
         row = U[a_ * 3] * v0 + U[a_ * 3 + 1] * v1 + U[a_ * 3 + 2] * v2
         rows.append(row.reshape(1, Kp * bm))
     rows.append(jnp.zeros((2, Kp * bm), jnp.float32))
     contrib = jnp.concatenate(rows, axis=0)  # (8, Kp*bm)
-    _scatter_window_hilo(out_pan_ref, P, idx_s, contrib)
+    hi, lo = _split_hilo(contrib)
+    dn = (((1,), (1,)), ((), ()))
+    for c0, oh in ohs:
+        out_pan_ref[0, c0 : c0 + ch, :] = (
+            jax.lax.dot_general(oh, hi, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(oh, lo, dn, preferred_element_type=jnp.float32)
+        )
 
 
 def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
