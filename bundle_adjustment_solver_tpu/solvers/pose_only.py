@@ -837,17 +837,318 @@ def solve_stereo_planar3dof_jax(
 # ---------------------------------------------------------------------------
 
 
+class _BatchCarry(NamedTuple):
+    """Lockstep per-frame state of the fused batched drivers (all leaves
+    carry a leading (B,) frame axis)."""
+
+    R: jax.Array  # (B, 3, 3)
+    t: jax.Array  # (B, 3)
+    err_prev: jax.Array  # (B,)
+    it_b: jax.Array  # (B,) per-frame executed iterations
+    done: jax.Array  # (B,)
+    converged: jax.Array  # (B,)
+    info: jax.Array  # (B, hist, INFO_NUM_COLS)
+    num_info: jax.Array  # (B,)
+    debug_R: jax.Array  # (B, hist, 3, 3)
+    debug_t: jax.Array  # (B, hist, 3)
+
+
+def _use_fused_batched(options: Options, B: int, P: int) -> bool:
+    """Gate for the frames-along-lanes fused batched kernels
+    (ops/pallas/pose_only_batched.py). Sticky 'reference' masks need the
+    per-iteration residual pass -> XLA vmap path."""
+    if getattr(options, "outlier_mask", "final") == "reference":
+        return False
+    mode = options.pallas
+    if mode == "auto":
+        return jax.default_backend() == "tpu" and B * P >= 4096
+    return mode in ("always", "interpret")
+
+
+def _fused_batch_loop(
+    stats_fn, R0, t0, inv_n, err_scale, options: Options, B: int
+):
+    """The shared lockstep GN loop of the fused batched solvers.
+
+    `stats_fn(R, t) -> (Atri (B, 21), g (B, 6), err_sum (B,))` runs the
+    frames-along-lanes kernel. Per-frame freezing, info/debug recording and
+    convergence flags replicate `jax.vmap(solve_*_jax)` exactly (a frame
+    whose while-cond is false keeps its old carry under vmap's select).
+    """
+    from ..ops import sym6
+
+    opts = options
+    dtype = R0.dtype
+    max_iter = opts.iteration_handle.max_num_iterations
+    thr_step = opts.convergence_handle.threshold_step_size
+    thr_cost = opts.convergence_handle.threshold_cost_change
+    hist = max_iter if getattr(opts, "record_history", True) else 1
+    bidx = jnp.arange(B)
+
+    def cond(c: _BatchCarry):
+        return jnp.any(jnp.logical_not(c.done))
+
+    def body(c: _BatchCarry):
+        Atri, g, err_sum = stats_fn(c.R, c.t)
+        Cinv = sym6.inverse_tri6(sym6.tri6_damp(Atri, _FIXED_LAMBDA))
+        delta = sym6.tri6_matvec(Cinv, -g)  # (B, 6)
+        R_new, t_new = add_front_se3(c.R, c.t, delta)
+        err_curr = err_sum * err_scale * inv_n
+        step_norm = jnp.linalg.norm(delta, axis=-1)
+        conv_now = jnp.logical_or(
+            step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
+        )
+        at_last = c.it_b == max_iter - 1
+        active = jnp.logical_not(c.done)
+
+        delta_err = jnp.abs(err_curr - c.err_prev)
+        row = jnp.zeros((B, INFO_NUM_COLS), dtype)
+        row = row.at[:, INFO_COST].set(err_curr)
+        row = row.at[:, INFO_COST_CHANGE].set(delta_err)
+        row = row.at[:, INFO_AVG_REPROJ].set(err_curr)
+        row = row.at[:, INFO_ABS_STEP].set(step_norm)
+        row = row.at[:, INFO_DAMPING].set(-1.0)
+        row = row.at[:, INFO_STATUS].set(float(int(IterationStatus.UPDATE)))
+        write = active & jnp.logical_not(conv_now)
+        slot = jnp.minimum(c.it_b, hist - 1)
+        old = c.info[bidx, slot]
+        info = c.info.at[bidx, slot].set(
+            jnp.where(write[:, None], row, old)
+        )
+
+        dbg_R, dbg_t = inverse_se3(R_new, t_new)
+        debug_R = c.debug_R.at[bidx, slot].set(
+            jnp.where(active[:, None, None], dbg_R, c.debug_R[bidx, slot])
+        )
+        debug_t = c.debug_t.at[bidx, slot].set(
+            jnp.where(active[:, None], dbg_t, c.debug_t[bidx, slot])
+        )
+
+        return _BatchCarry(
+            R=jnp.where(active[:, None, None], R_new, c.R),
+            t=jnp.where(active[:, None], t_new, c.t),
+            err_prev=jnp.where(active, err_curr, c.err_prev),
+            it_b=c.it_b + active.astype(jnp.int32),
+            done=c.done | (active & (conv_now | at_last)),
+            converged=jnp.where(
+                active,
+                jnp.where(conv_now, True, jnp.logical_not(at_last)),
+                c.converged,
+            ),
+            info=info,
+            num_info=c.num_info + write.astype(jnp.int32),
+            debug_R=debug_R,
+            debug_t=debug_t,
+        )
+
+    carry0 = _BatchCarry(
+        R=R0,
+        t=t0,
+        err_prev=jnp.full((B,), 1e10, dtype),
+        it_b=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        converged=jnp.ones((B,), bool),
+        info=jnp.zeros((B, hist, INFO_NUM_COLS), dtype),
+        num_info=jnp.zeros((B,), jnp.int32),
+        debug_R=jnp.zeros((B, hist, 3, 3), dtype),
+        debug_t=jnp.zeros((B, hist, 3), dtype),
+    )
+    return jax.lax.while_loop(cond, body, carry0)
+
+
+def _fused_batch_result(carry: _BatchCarry) -> tuple:
+    """(pose_out (B, 4, 4), debug_poses) from the final carry."""
+    R_out, t_out = inverse_se3(carry.R, carry.t)
+    pose_out = _to_T(R_out, t_out)
+    debug_poses = _to_T(carry.debug_R, carry.debug_t)
+    return pose_out, debug_poses
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def _solve_mono_6dof_batched_fused(
+    points, pixels, valid, intrinsics, poses, options: Options
+) -> PoseOnlyResult:
+    """Frames-along-lanes fused batched mono solver (one kernel launch for
+    the stats of ALL frames per iteration; see ops/pallas/pose_only_batched)."""
+    from ..ops.pallas import pose_only_batched as BK
+
+    opts = options
+    dtype = jnp.float32
+    B, P = points.shape[:2]
+    huber = float(opts.outlier_handle.threshold_huber_loss)
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    interp = opts.pallas == "interpret"
+
+    R0, t0 = _to_Rt(poses.astype(dtype))
+    R0, t0 = inverse_se3(R0, t0)
+    validf = valid.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(jnp.sum(validf, axis=-1), 1.0)  # (B,)
+
+    p_pad, b_pad = BK.plane_dims(B, P)
+    x_pl, y_pl, z_pl = BK.pack_frames_planes(
+        points.astype(dtype), p_pad, b_pad
+    )
+    pu_pl, pv_pl = BK.pack_frames_planes(pixels.astype(dtype), p_pad, b_pad)
+    v_pl = BK.pack_frames_planes(validf, p_pad, b_pad)
+    intr = jnp.asarray(intrinsics, dtype)
+    rows = [intr[..., k] for k in range(4)] + [jnp.zeros(())] * 4
+    intr8 = BK.intr_planes(rows, b_pad)
+
+    def stats_fn(R, t):
+        pose12 = BK.pose_planes(R, t, b_pad)
+        st = BK.batched_mono_gn_stats(
+            pose12, intr8, x_pl, y_pl, z_pl, pu_pl, pv_pl, v_pl,
+            huber=huber, interpret=interp,
+        )
+        st = st[:, :B].T  # (B, 32)
+        return st[:, :21], st[:, 21:27], st[:, 27]
+
+    carry = _fused_batch_loop(stats_fn, R0, t0, inv_n, 0.5, opts, B)
+    pose_out, debug_poses = _fused_batch_result(carry)
+
+    # Final-iteration outlier mask, recomputed from the final pose.
+    X_c = (
+        jnp.einsum("bij,bpj->bpi", carry.R, points.astype(dtype),
+                   precision=_HIGHEST)
+        + carry.t[:, None, :]
+    )
+    fx, fy, cx, cy = (
+        jnp.expand_dims(intr[..., k], -1) if intr.ndim == 2 else intr[k]
+        for k in range(4)
+    )
+    _, _, man = residual_and_weight(
+        X_c, pixels.astype(dtype), fx, fy, cx, cy, huber
+    )
+    mask = valid & (man < thr_outlier)
+
+    return PoseOnlyResult(
+        pose=pose_out,
+        mask_inlier=mask,
+        mask_inlier_right=mask,
+        success=jnp.all(jnp.isfinite(pose_out), axis=(1, 2)),
+        converged=carry.converged,
+        num_iterations=carry.it_b,
+        info=carry.info,
+        num_info=carry.num_info,
+        debug_poses=debug_poses,
+        num_debug=carry.it_b,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def _solve_stereo_6dof_batched_fused(
+    points, pixels_left, pixels_right, valid, intrinsics_left,
+    intrinsics_right, pose_left_to_right, poses, options: Options,
+) -> PoseOnlyResult:
+    """Frames-along-lanes fused batched stereo solver (shared rig)."""
+    from ..ops.pallas import pose_only_batched as BK
+
+    opts = options
+    dtype = jnp.float32
+    B, P = points.shape[:2]
+    huber = float(opts.outlier_handle.threshold_huber_loss)
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    interp = opts.pallas == "interpret"
+
+    R0, t0 = _to_Rt(poses.astype(dtype))
+    R0, t0 = inverse_se3(R0, t0)
+    R_rl, t_rl = _to_Rt(jnp.asarray(pose_left_to_right, dtype))
+    R_rl, t_rl = inverse_se3(R_rl, t_rl)
+    rig34 = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)
+
+    pixels_left = pixels_left.astype(dtype)
+    pixels_right = pixels_right.astype(dtype)
+    has_right = (pixels_right[..., 0] >= 0) & (pixels_right[..., 1] >= 0)
+    valid_right = valid & has_right
+    validf_l = valid.astype(dtype)
+    validf_r = valid_right.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(
+        jnp.sum(validf_l, axis=-1) + jnp.sum(validf_r, axis=-1), 1.0
+    )
+
+    p_pad, b_pad = BK.plane_dims(B, P)
+    x_pl, y_pl, z_pl = BK.pack_frames_planes(
+        points.astype(dtype), p_pad, b_pad
+    )
+    pul, pvl = BK.pack_frames_planes(pixels_left, p_pad, b_pad)
+    pur, pvr = BK.pack_frames_planes(pixels_right, p_pad, b_pad)
+    vl_pl = BK.pack_frames_planes(validf_l, p_pad, b_pad)
+    vr_pl = BK.pack_frames_planes(validf_r, p_pad, b_pad)
+    il = jnp.asarray(intrinsics_left, dtype)
+    ir = jnp.asarray(intrinsics_right, dtype)
+    intr8 = BK.intr_planes(
+        [il[..., k] for k in range(4)] + [ir[..., k] for k in range(4)],
+        b_pad,
+    )
+
+    def stats_fn(R, t):
+        pose12 = BK.pose_planes(R, t, b_pad)
+        st = BK.batched_stereo_gn_stats(
+            pose12, intr8, rig34, x_pl, y_pl, z_pl, pul, pvl, vl_pl,
+            pur, pvr, vr_pl, huber=huber, interpret=interp,
+        )
+        st = st[:, :B].T
+        return st[:, :21], st[:, 21:27], st[:, 27]
+
+    carry = _fused_batch_loop(stats_fn, R0, t0, inv_n, 2.0, opts, B)
+    pose_out, debug_poses = _fused_batch_result(carry)
+
+    # Final-iteration masks from the final pose, both cameras.
+    pts = points.astype(dtype)
+    X_l = (
+        jnp.einsum("bij,bpj->bpi", carry.R, pts, precision=_HIGHEST)
+        + carry.t[:, None, :]
+    )
+    X_r = jnp.einsum("ij,bpj->bpi", R_rl, X_l, precision=_HIGHEST) + t_rl
+
+    def cam4(intr):
+        return (
+            jnp.expand_dims(intr[..., k], -1) if intr.ndim == 2 else intr[k]
+            for k in range(4)
+        )
+
+    fxl, fyl, cxl, cyl = cam4(il)
+    fxr, fyr, cxr, cyr = cam4(ir)
+    _, _, man_l = residual_and_weight(
+        X_l, pixels_left, fxl, fyl, cxl, cyl, huber
+    )
+    _, _, man_r = residual_and_weight(
+        X_r, pixels_right, fxr, fyr, cxr, cyr, huber
+    )
+    mask_l = valid & (man_l < thr_outlier)
+    mask_r = valid_right & (man_r < thr_outlier)
+
+    return PoseOnlyResult(
+        pose=pose_out,
+        mask_inlier=mask_l,
+        mask_inlier_right=mask_r,
+        success=jnp.all(jnp.isfinite(pose_out), axis=(1, 2)),
+        converged=carry.converged,
+        num_iterations=carry.it_b,
+        info=carry.info,
+        num_info=carry.num_info,
+        debug_poses=debug_poses,
+        num_debug=carry.it_b,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("options",))
 def solve_monocular_6dof_batched(
     points, pixels, valid, intrinsics, poses, options: Options
 ) -> PoseOnlyResult:
-    """vmap of `solve_monocular_6dof_jax` over a leading frame axis.
+    """Batched mono 6-DoF over a leading frame axis.
 
     The reference runs one frame per call (pose_only...h:50-67); on TPU,
     thousands of frames solve concurrently -- SURVEY.md §2 "embarrassingly-
     parallel batch solve". Inputs gain a leading (B,) axis; `intrinsics` may
-    be (4,) shared or (B, 4).
+    be (4,) shared or (B, 4). On TPU (Options.pallas 'auto'/'always') the
+    stats of all frames come from ONE frames-along-lanes Pallas launch per
+    lockstep iteration; otherwise vmap of the per-frame solver.
     """
+    if _use_fused_batched(options, points.shape[0], points.shape[1]):
+        return _solve_mono_6dof_batched_fused(
+            points, pixels, valid, jnp.asarray(intrinsics), poses, options
+        )
     in_axes = (0, 0, 0, 0 if intrinsics.ndim == 2 else None, 0, None)
     return jax.vmap(
         solve_monocular_6dof_jax, in_axes=in_axes
@@ -866,7 +1167,18 @@ def solve_stereo_6dof_batched(
     poses,
     options: Options,
 ) -> PoseOnlyResult:
-    """vmap of `solve_stereo_6dof_jax` over a leading frame axis (shared rig)."""
+    """Batched stereo 6-DoF over a leading frame axis (shared rig). Fused
+    frames-along-lanes kernel on TPU (see the mono batched docstring); the
+    vmap path handles per-frame rigs and sticky-mask parity."""
+    if (
+        jnp.asarray(pose_left_to_right).ndim == 2
+        and _use_fused_batched(options, points.shape[0], points.shape[1])
+    ):
+        return _solve_stereo_6dof_batched_fused(
+            points, pixels_left, pixels_right, valid,
+            jnp.asarray(intrinsics_left), jnp.asarray(intrinsics_right),
+            pose_left_to_right, poses, options,
+        )
     in_axes = (
         0,
         0,

@@ -237,3 +237,136 @@ class TestPallasStereoSolverPath:
         np.testing.assert_allclose(
             pose_p, prob.poses_true[0], atol=1e-3
         )
+
+
+class TestFusedBatchedSolvers:
+    """Frames-along-lanes fused batched drivers vs the vmapped XLA path."""
+
+    def _problem(self, B=5, P=100, seed=3):
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            batched_stereo_pose_only_problem,
+        )
+
+        return batched_stereo_pose_only_problem(
+            num_frames=B, points_per_frame=P, seed=seed, drop_right_frac=0.15,
+            pixel_noise=0.3,
+        )
+
+    def _opts(self, **kw):
+        from bundle_adjustment_solver_tpu.options import (
+            ConvergenceHandle,
+            IterationHandle,
+            Options,
+            OutlierHandle,
+        )
+
+        return Options(
+            convergence_handle=ConvergenceHandle(1e-7, 1e-7),
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(40),
+        ).replace(**kw)
+
+    def test_batched_stereo_fused_matches_vmap(self):
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+
+        prob = self._problem()
+        B, P = prob.points.shape[:2]
+        args = (
+            jnp.asarray(prob.points, jnp.float32),
+            jnp.asarray(prob.pixels_left, jnp.float32),
+            jnp.asarray(prob.pixels_right, jnp.float32),
+            jnp.ones((B, P), bool),
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.pose_left_to_right, jnp.float32),
+            jnp.asarray(prob.poses_initial, jnp.float32),
+        )
+        ref = pose_only.solve_stereo_6dof_batched(
+            *args, self._opts(pallas="never")
+        )
+        fused = pose_only.solve_stereo_6dof_batched(
+            *args, self._opts(pallas="interpret")
+        )
+        assert bool(fused.success.all())
+        np.testing.assert_allclose(
+            np.asarray(fused.pose), np.asarray(ref.pose), atol=3e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.num_iterations), np.asarray(ref.num_iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.converged), np.asarray(ref.converged)
+        )
+        assert (np.asarray(fused.mask_inlier)
+                == np.asarray(ref.mask_inlier)).mean() > 0.99
+        assert (np.asarray(fused.mask_inlier_right)
+                == np.asarray(ref.mask_inlier_right)).mean() > 0.99
+        # info rows: costs agree per frame per recorded iteration
+        ni = np.asarray(ref.num_info)
+        fi, ri = np.asarray(fused.info), np.asarray(ref.info)
+        for b in range(B):
+            np.testing.assert_allclose(
+                fi[b, : ni[b], 0], ri[b, : ni[b], 0], rtol=2e-4
+            )
+        # debug pose traces agree
+        nd = np.asarray(ref.num_debug)
+        fd, rd = np.asarray(fused.debug_poses), np.asarray(ref.debug_poses)
+        for b in range(B):
+            np.testing.assert_allclose(
+                fd[b, : nd[b]], rd[b, : nd[b]], atol=3e-5
+            )
+
+    def test_batched_mono_fused_matches_vmap(self):
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+
+        prob = self._problem(B=4, P=120, seed=8)
+        B, P = prob.points.shape[:2]
+        args = (
+            jnp.asarray(prob.points, jnp.float32),
+            jnp.asarray(prob.pixels_left, jnp.float32),
+            jnp.ones((B, P), bool),
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.poses_initial, jnp.float32),
+        )
+        ref = pose_only.solve_monocular_6dof_batched(
+            *args, self._opts(pallas="never")
+        )
+        fused = pose_only.solve_monocular_6dof_batched(
+            *args, self._opts(pallas="interpret")
+        )
+        assert bool(fused.success.all())
+        np.testing.assert_allclose(
+            np.asarray(fused.pose), np.asarray(ref.pose), atol=3e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.num_iterations), np.asarray(ref.num_iterations)
+        )
+        assert (np.asarray(fused.mask_inlier)
+                == np.asarray(ref.mask_inlier)).mean() > 0.99
+
+    def test_batched_fused_history_off(self):
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+
+        prob = self._problem(B=3, P=64, seed=2)
+        B, P = prob.points.shape[:2]
+        args = (
+            jnp.asarray(prob.points, jnp.float32),
+            jnp.asarray(prob.pixels_left, jnp.float32),
+            jnp.asarray(prob.pixels_right, jnp.float32),
+            jnp.ones((B, P), bool),
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.pose_left_to_right, jnp.float32),
+            jnp.asarray(prob.poses_initial, jnp.float32),
+        )
+        full = pose_only.solve_stereo_6dof_batched(
+            *args, self._opts(pallas="interpret")
+        )
+        slim = pose_only.solve_stereo_6dof_batched(
+            *args, self._opts(pallas="interpret", record_history=False)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slim.pose), np.asarray(full.pose)
+        )
+        assert slim.info.shape[1] == 1
+        assert slim.debug_poses.shape[1] == 1
