@@ -316,8 +316,8 @@ def bench_pose_only_batched_stereo() -> dict:
     return {
         "metric": (
             "pose_only_batched_stereo6dof_observations_x_GN-iterations_per_second_per_chip "
-            f"({B} frames x {P} pts, {n_obs} obs, vmapped forced-iteration GN, "
-            f"gn_iters_per_s={iters_per_s:.1f})"
+            f"({B} frames x {P} pts, {n_obs} obs, frames-along-lanes fused "
+            f"lockstep GN, gn_iters_per_s={iters_per_s:.1f})"
         ),
         "value": round(value, 1),
         "unit": "obs*iter/s",

@@ -238,3 +238,161 @@ def batched_stereo_gn_stats(pose12, intr, rig34, x, y, z, pul, pvl, vl,
         functools.partial(_bgn_stereo_kernel, huber=huber),
         9, p_pad, b_pad, extra_smem=True, interpret=interpret,
     )(pose12, intr, rig34, x, y, z, pul, pvl, vl, pur, pvr, vr)
+
+
+# ---------------------------------------------------------------------------
+# Planar 3-DoF variants (reference cpp:401-900): same frames-along-lanes
+# layout; stats shrink to 10 rows (6 triu 3x3 + 3 gradient + cost) and the
+# Jacobian chains through the shared camera<-base rotation (SMEM) with
+# per-frame cos/sin(psi) rows.
+# ---------------------------------------------------------------------------
+
+_STATS_P3 = 10
+_OUT_ROWS_P3 = 16
+
+
+def _cam_stats_planar_lanes(
+    xc, yc, zc, pu, pv, fx, fy, cx, cy, cpsi, spsi, xb, yb,
+    rcb_ref, valid, huber,
+):
+    """Planar 3-DoF stats on (Pc, 128) planes (one frame per lane): the
+    translation columns go through columns 0/1 of the shared R_cb, the psi
+    column uses the lever terms A/B of the BASE-frame point (reference
+    cpp:1454-1515; ops/projection.pose_only_jacobian_planar3dof)."""
+    zc = jnp.where(valid > 0, zc, 1.0)
+    inv_z = 1.0 / zc
+    ru = fx * xc * inv_z + cx - pu
+    rv = fy * yc * inv_z + cy - pv
+
+    man = jnp.abs(ru) + jnp.abs(rv)
+    w = jnp.where(man > huber, huber / man, 1.0) * valid
+
+    fx_inv_z = fx * inv_z
+    fy_inv_z = fy * inv_z
+    du_dz = -fx_inv_z * xc * inv_z
+    dv_dz = -fy_inv_z * yc * inv_z
+    ju_x = fx_inv_z * rcb_ref[0, 0] + du_dz * rcb_ref[2, 0]
+    ju_y = fx_inv_z * rcb_ref[0, 1] + du_dz * rcb_ref[2, 1]
+    jv_x = fy_inv_z * rcb_ref[1, 0] + dv_dz * rcb_ref[2, 0]
+    jv_y = fy_inv_z * rcb_ref[1, 1] + dv_dz * rcb_ref[2, 1]
+    A = -spsi * xb - cpsi * yb
+    B = cpsi * xb - spsi * yb
+    ju = (ju_x, ju_y, ju_x * A + ju_y * B)
+    jv = (jv_x, jv_y, jv_x * A + jv_y * B)
+
+    def rsum(a):
+        return jnp.sum(a, axis=0, keepdims=True)
+
+    stats = []
+    for a in range(3):
+        for b in range(a, 3):
+            stats.append(rsum(w * (ju[a] * ju[b] + jv[a] * jv[b])))
+    wru = w * ru
+    wrv = w * rv
+    for a in range(3):
+        stats.append(rsum(wru * ju[a] + wrv * jv[a]))
+    stats.append(rsum(w * (ru * ru + rv * rv)))
+    return stats
+
+
+def _accumulate_p3(out_ref, stats):
+    block = jnp.concatenate(
+        stats + [jnp.zeros((_OUT_ROWS_P3 - _STATS_P3, LANE), jnp.float32)],
+        axis=0,
+    )
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = block
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[:] = out_ref[:] + block
+
+
+def _bgn_planar_mono_kernel(pose_ref, intr_ref, psi_ref, rcb_ref,
+                            x_ref, y_ref, z_ref, pu_ref, pv_ref, v_ref,
+                            out_ref, *, huber):
+    xc, yc, zc = _warp_rows(pose_ref, x_ref[:], y_ref[:], z_ref[:])
+    i = lambda k: intr_ref[k : k + 1, :]
+    stats = _cam_stats_planar_lanes(
+        xc, yc, zc, pu_ref[:], pv_ref[:], i(0), i(1), i(2), i(3),
+        psi_ref[0:1, :], psi_ref[1:2, :], x_ref[:], y_ref[:],
+        rcb_ref, v_ref[:], huber,
+    )
+    _accumulate_p3(out_ref, stats)
+
+
+def _bgn_planar_stereo_kernel(pose_ref, intr_ref, psi_ref, rcb_ref,
+                              rcbr_ref, rig_ref, x_ref, y_ref, z_ref,
+                              pul_ref, pvl_ref, vl_ref,
+                              pur_ref, pvr_ref, vr_ref, out_ref, *, huber):
+    xb, yb = x_ref[:], y_ref[:]
+    xl, yl, zl = _warp_rows(pose_ref, xb, yb, z_ref[:])
+    i = lambda k: intr_ref[k : k + 1, :]
+    cp, sp = psi_ref[0:1, :], psi_ref[1:2, :]
+    sl = _cam_stats_planar_lanes(
+        xl, yl, zl, pul_ref[:], pvl_ref[:], i(0), i(1), i(2), i(3),
+        cp, sp, xb, yb, rcb_ref, vl_ref[:], huber,
+    )
+    xr = rig_ref[0, 0] * xl + rig_ref[0, 1] * yl + rig_ref[0, 2] * zl + rig_ref[0, 3]
+    yr = rig_ref[1, 0] * xl + rig_ref[1, 1] * yl + rig_ref[1, 2] * zl + rig_ref[1, 3]
+    zr = rig_ref[2, 0] * xl + rig_ref[2, 1] * yl + rig_ref[2, 2] * zl + rig_ref[2, 3]
+    sr = _cam_stats_planar_lanes(
+        xr, yr, zr, pur_ref[:], pvr_ref[:], i(4), i(5), i(6), i(7),
+        cp, sp, xb, yb, rcbr_ref, vr_ref[:], huber,
+    )
+    _accumulate_p3(out_ref, [a + b for a, b in zip(sl, sr)])
+
+
+def _grid_call_p3(kernel, n_smem, n_planes, p_pad, b_pad, interpret):
+    pc = min(p_pad, _PCHUNK)
+    grid = (b_pad // LANE, p_pad // pc)
+    plane = pl.BlockSpec((pc, LANE), lambda b, p: (p, b),
+                         memory_space=pltpu.VMEM)
+    specs = [
+        pl.BlockSpec((12, LANE), lambda b, p: (0, b),
+                     memory_space=pltpu.VMEM),  # pose rows
+        pl.BlockSpec((8, LANE), lambda b, p: (0, b),
+                     memory_space=pltpu.VMEM),  # intrinsics rows
+        pl.BlockSpec((2, LANE), lambda b, p: (0, b),
+                     memory_space=pltpu.VMEM),  # cos/sin psi rows
+    ] + [
+        pl.BlockSpec((3, 4), lambda b, p: (0, 0), memory_space=pltpu.SMEM)
+    ] * n_smem
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=specs + [plane] * n_planes,
+        out_specs=pl.BlockSpec((_OUT_ROWS_P3, LANE), lambda b, p: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_OUT_ROWS_P3, b_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("huber", "interpret"))
+def batched_planar_mono_gn_stats(pose12, intr, psi2, rcb34, x, y, z,
+                                 pu, pv, v, huber: float,
+                                 interpret: bool = False):
+    """(16, B_pad) planar stats plane for B mono frames (rows 0..9 used)."""
+    p_pad, b_pad = x.shape
+    return _grid_call_p3(
+        functools.partial(_bgn_planar_mono_kernel, huber=huber),
+        1, 6, p_pad, b_pad, interpret,
+    )(pose12, intr, psi2, rcb34, x, y, z, pu, pv, v)
+
+
+@functools.partial(jax.jit, static_argnames=("huber", "interpret"))
+def batched_planar_stereo_gn_stats(pose12, intr, psi2, rcb34, rcbr34,
+                                   rig34, x, y, z, pul, pvl, vl,
+                                   pur, pvr, vr, huber: float,
+                                   interpret: bool = False):
+    """(16, B_pad) summed left+right planar stats for B stereo frames."""
+    p_pad, b_pad = x.shape
+    return _grid_call_p3(
+        functools.partial(_bgn_planar_stereo_kernel, huber=huber),
+        3, 9, p_pad, b_pad, interpret,
+    )(pose12, intr, psi2, rcb34, rcbr34, rig34,
+      x, y, z, pul, pvl, vl, pur, pvr, vr)

@@ -839,10 +839,10 @@ def solve_stereo_planar3dof_jax(
 
 class _BatchCarry(NamedTuple):
     """Lockstep per-frame state of the fused batched drivers (all leaves
-    carry a leading (B,) frame axis)."""
+    carry a leading (B,) frame axis). `state` is the mode's parameter
+    pytree: (R (B,3,3), t (B,3)) for 6-DoF, theta (B,3) for planar."""
 
-    R: jax.Array  # (B, 3, 3)
-    t: jax.Array  # (B, 3)
+    state: tuple
     err_prev: jax.Array  # (B,)
     it_b: jax.Array  # (B,) per-frame executed iterations
     done: jax.Array  # (B,)
@@ -865,20 +865,33 @@ def _use_fused_batched(options: Options, B: int, P: int) -> bool:
     return mode in ("always", "interpret")
 
 
+def _masked_state(active, new, old):
+    """Per-leaf select of a state pytree against the (B,) active mask."""
+    return jax.tree.map(
+        lambda n, o: jnp.where(
+            active.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+        ),
+        new,
+        old,
+    )
+
+
 def _fused_batch_loop(
-    stats_fn, R0, t0, inv_n, err_scale, options: Options, B: int
+    stats_fn, solve_fn, update_fn, debug_fn, state0, inv_n, err_scale,
+    options: Options, B: int,
 ):
     """The shared lockstep GN loop of the fused batched solvers.
 
-    `stats_fn(R, t) -> (Atri (B, 21), g (B, 6), err_sum (B,))` runs the
-    frames-along-lanes kernel. Per-frame freezing, info/debug recording and
+    Mode-specific pieces: `stats_fn(state) -> (Atri, g, err_sum)` runs the
+    frames-along-lanes kernel, `solve_fn(Atri, g) -> delta` is the damped
+    closed-form solve, `update_fn(state, delta)` applies the step,
+    `debug_fn(state) -> (dbg_R (B,3,3), dbg_t (B,3))` produces the
+    user-facing debug pose. Per-frame freezing, info/debug recording and
     convergence flags replicate `jax.vmap(solve_*_jax)` exactly (a frame
     whose while-cond is false keeps its old carry under vmap's select).
     """
-    from ..ops import sym6
-
     opts = options
-    dtype = R0.dtype
+    dtype = jnp.float32
     max_iter = opts.iteration_handle.max_num_iterations
     thr_step = opts.convergence_handle.threshold_step_size
     thr_cost = opts.convergence_handle.threshold_cost_change
@@ -889,10 +902,9 @@ def _fused_batch_loop(
         return jnp.any(jnp.logical_not(c.done))
 
     def body(c: _BatchCarry):
-        Atri, g, err_sum = stats_fn(c.R, c.t)
-        Cinv = sym6.inverse_tri6(sym6.tri6_damp(Atri, _FIXED_LAMBDA))
-        delta = sym6.tri6_matvec(Cinv, -g)  # (B, 6)
-        R_new, t_new = add_front_se3(c.R, c.t, delta)
+        Atri, g, err_sum = stats_fn(c.state)
+        delta = solve_fn(Atri, g)  # (B, d)
+        state_new = update_fn(c.state, delta)
         err_curr = err_sum * err_scale * inv_n
         step_norm = jnp.linalg.norm(delta, axis=-1)
         conv_now = jnp.logical_or(
@@ -916,7 +928,7 @@ def _fused_batch_loop(
             jnp.where(write[:, None], row, old)
         )
 
-        dbg_R, dbg_t = inverse_se3(R_new, t_new)
+        dbg_R, dbg_t = debug_fn(state_new)
         debug_R = c.debug_R.at[bidx, slot].set(
             jnp.where(active[:, None, None], dbg_R, c.debug_R[bidx, slot])
         )
@@ -925,8 +937,7 @@ def _fused_batch_loop(
         )
 
         return _BatchCarry(
-            R=jnp.where(active[:, None, None], R_new, c.R),
-            t=jnp.where(active[:, None], t_new, c.t),
+            state=_masked_state(active, state_new, c.state),
             err_prev=jnp.where(active, err_curr, c.err_prev),
             it_b=c.it_b + active.astype(jnp.int32),
             done=c.done | (active & (conv_now | at_last)),
@@ -942,8 +953,7 @@ def _fused_batch_loop(
         )
 
     carry0 = _BatchCarry(
-        R=R0,
-        t=t0,
+        state=state0,
         err_prev=jnp.full((B,), 1e10, dtype),
         it_b=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
@@ -956,12 +966,45 @@ def _fused_batch_loop(
     return jax.lax.while_loop(cond, body, carry0)
 
 
-def _fused_batch_result(carry: _BatchCarry) -> tuple:
-    """(pose_out (B, 4, 4), debug_poses) from the final carry."""
-    R_out, t_out = inverse_se3(carry.R, carry.t)
+def _fused_batch_result(carry: _BatchCarry, final_fn) -> tuple:
+    """(pose_out (B, 4, 4), debug_poses) from the final carry;
+    `final_fn(state) -> (R_out, t_out)` is the mode's write-back."""
+    R_out, t_out = final_fn(carry.state)
     pose_out = _to_T(R_out, t_out)
     debug_poses = _to_T(carry.debug_R, carry.debug_t)
     return pose_out, debug_poses
+
+
+def _solve6(Atri, g):
+    """Damped closed-form batched 6x6 solve on flat (B, 21) triangles."""
+    from ..ops import sym6
+
+    Cinv = sym6.inverse_tri6(sym6.tri6_damp(Atri, _FIXED_LAMBDA))
+    return sym6.tri6_matvec(Cinv, -g)
+
+
+def _solve3(Atri, g):
+    """Damped closed-form batched 3x3 solve on flat (B, 6) columns
+    [xx, xy, xz, yy, yz, zz] (sym6._inv_sym3_cols order)."""
+    from ..ops import sym6
+
+    damp = jnp.asarray(
+        [1.0 + _FIXED_LAMBDA, 1.0, 1.0, 1.0 + _FIXED_LAMBDA, 1.0,
+         1.0 + _FIXED_LAMBDA],
+        Atri.dtype,
+    )
+    c = Atri * damp[None, :]
+    inv = sym6._inv_sym3_cols([c[:, k] for k in range(6)])
+    i0, i1, i2, i3, i4, i5 = inv
+    g0, g1, g2 = -g[:, 0], -g[:, 1], -g[:, 2]
+    return jnp.stack(
+        [
+            i0 * g0 + i1 * g1 + i2 * g2,
+            i1 * g0 + i3 * g1 + i4 * g2,
+            i2 * g0 + i4 * g1 + i5 * g2,
+        ],
+        axis=-1,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("options",))
@@ -994,8 +1037,8 @@ def _solve_mono_6dof_batched_fused(
     rows = [intr[..., k] for k in range(4)] + [jnp.zeros(())] * 4
     intr8 = BK.intr_planes(rows, b_pad)
 
-    def stats_fn(R, t):
-        pose12 = BK.pose_planes(R, t, b_pad)
+    def stats_fn(state):
+        pose12 = BK.pose_planes(state[0], state[1], b_pad)
         st = BK.batched_mono_gn_stats(
             pose12, intr8, x_pl, y_pl, z_pl, pu_pl, pv_pl, v_pl,
             huber=huber, interpret=interp,
@@ -1003,14 +1046,24 @@ def _solve_mono_6dof_batched_fused(
         st = st[:, :B].T  # (B, 32)
         return st[:, :21], st[:, 21:27], st[:, 27]
 
-    carry = _fused_batch_loop(stats_fn, R0, t0, inv_n, 0.5, opts, B)
-    pose_out, debug_poses = _fused_batch_result(carry)
+    def update_fn(state, delta):
+        return add_front_se3(state[0], state[1], delta)
+
+    def debug_fn(state):
+        return inverse_se3(state[0], state[1])
+
+    carry = _fused_batch_loop(
+        stats_fn, _solve6, update_fn, debug_fn, (R0, t0), inv_n, 0.5,
+        opts, B,
+    )
+    pose_out, debug_poses = _fused_batch_result(carry, debug_fn)
+    R_fin, t_fin = carry.state
 
     # Final-iteration outlier mask, recomputed from the final pose.
     X_c = (
-        jnp.einsum("bij,bpj->bpi", carry.R, points.astype(dtype),
+        jnp.einsum("bij,bpj->bpi", R_fin, points.astype(dtype),
                    precision=_HIGHEST)
-        + carry.t[:, None, :]
+        + t_fin[:, None, :]
     )
     fx, fy, cx, cy = (
         jnp.expand_dims(intr[..., k], -1) if intr.ndim == 2 else intr[k]
@@ -1081,8 +1134,8 @@ def _solve_stereo_6dof_batched_fused(
         b_pad,
     )
 
-    def stats_fn(R, t):
-        pose12 = BK.pose_planes(R, t, b_pad)
+    def stats_fn(state):
+        pose12 = BK.pose_planes(state[0], state[1], b_pad)
         st = BK.batched_stereo_gn_stats(
             pose12, intr8, rig34, x_pl, y_pl, z_pl, pul, pvl, vl_pl,
             pur, pvr, vr_pl, huber=huber, interpret=interp,
@@ -1090,14 +1143,24 @@ def _solve_stereo_6dof_batched_fused(
         st = st[:, :B].T
         return st[:, :21], st[:, 21:27], st[:, 27]
 
-    carry = _fused_batch_loop(stats_fn, R0, t0, inv_n, 2.0, opts, B)
-    pose_out, debug_poses = _fused_batch_result(carry)
+    def update_fn(state, delta):
+        return add_front_se3(state[0], state[1], delta)
+
+    def debug_fn(state):
+        return inverse_se3(state[0], state[1])
+
+    carry = _fused_batch_loop(
+        stats_fn, _solve6, update_fn, debug_fn, (R0, t0), inv_n, 2.0,
+        opts, B,
+    )
+    pose_out, debug_poses = _fused_batch_result(carry, debug_fn)
+    R_fin, t_fin = carry.state
 
     # Final-iteration masks from the final pose, both cameras.
     pts = points.astype(dtype)
     X_l = (
-        jnp.einsum("bij,bpj->bpi", carry.R, pts, precision=_HIGHEST)
-        + carry.t[:, None, :]
+        jnp.einsum("bij,bpj->bpi", R_fin, pts, precision=_HIGHEST)
+        + t_fin[:, None, :]
     )
     X_r = jnp.einsum("ij,bpj->bpi", R_rl, X_l, precision=_HIGHEST) + t_rl
 
@@ -1129,6 +1192,233 @@ def _solve_stereo_6dof_batched_fused(
         num_info=carry.num_info,
         debug_poses=debug_poses,
         num_debug=carry.it_b,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def _solve_planar_mono_batched_fused(
+    points, pixels, valid, intrinsics, pose_base_to_camera,
+    poses_world_to_last, poses_world_to_current, options: Options,
+) -> PoseOnlyResult:
+    """Frames-along-lanes fused batched planar mono solver (shared
+    base->camera extrinsic)."""
+    from ..ops.pallas import pose_only_batched as BK
+
+    opts = options
+    dtype = jnp.float32
+    B, P = points.shape[:2]
+    huber = float(opts.outlier_handle.threshold_huber_loss)
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    interp = opts.pallas == "interpret"
+
+    bc = jnp.asarray(pose_base_to_camera, dtype)
+    theta0, (R_cb, t_cb), (R_bc, t_bc) = _planar_prior(
+        bc,
+        jnp.asarray(poses_world_to_last, dtype),
+        jnp.asarray(poses_world_to_current, dtype),
+    )
+    validf = valid.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(jnp.sum(validf, axis=-1), 1.0)
+
+    p_pad, b_pad = BK.plane_dims(B, P)
+    x_pl, y_pl, z_pl = BK.pack_frames_planes(
+        points.astype(dtype), p_pad, b_pad
+    )
+    pu_pl, pv_pl = BK.pack_frames_planes(
+        pixels.astype(dtype), p_pad, b_pad
+    )
+    v_pl = BK.pack_frames_planes(validf, p_pad, b_pad)
+    intr = jnp.asarray(intrinsics, dtype)
+    intr8 = BK.intr_planes(
+        [intr[..., k] for k in range(4)] + [jnp.zeros(())] * 4, b_pad
+    )
+    rcb34 = jnp.concatenate([R_cb, t_cb[:, None]], axis=1)
+
+    def stats_fn(theta):
+        R_p, t_p = planar_to_se3(theta)
+        R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
+        pose12 = BK.pose_planes(R_l, t_l, b_pad)
+        psi2 = BK.intr_planes(
+            [jnp.cos(theta[:, 2]), jnp.sin(theta[:, 2])], b_pad
+        )
+        st = BK.batched_planar_mono_gn_stats(
+            pose12, intr8, psi2, rcb34, x_pl, y_pl, z_pl,
+            pu_pl, pv_pl, v_pl, huber=huber, interpret=interp,
+        )
+        st = st[:, :B].T  # (B, 16)
+        return st[:, :6], st[:, 6:9], st[:, 9]
+
+    def debug_fn(theta):
+        Rn, tn = planar_to_se3(theta)
+        Rni, tni = inverse_se3(Rn, tn)
+        return compose(Rni, tni, R_bc, t_bc)
+
+    carry = _fused_batch_loop(
+        stats_fn, _solve3, _planar_update_batched, debug_fn, theta0,
+        inv_n, 0.5, opts, B,
+    )
+    pose_out, debug_poses = _fused_batch_result(carry, debug_fn)
+
+    R_p, t_p = planar_to_se3(carry.state)
+    R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
+    X_c = (
+        jnp.einsum("bij,bpj->bpi", R_l, points.astype(dtype),
+                   precision=_HIGHEST)
+        + t_l[:, None, :]
+    )
+    fx, fy, cx, cy = (
+        jnp.expand_dims(intr[..., k], -1) if intr.ndim == 2 else intr[k]
+        for k in range(4)
+    )
+    _, _, man = residual_and_weight(
+        X_c, pixels.astype(dtype), fx, fy, cx, cy, huber
+    )
+    mask = valid & (man < thr_outlier)
+
+    return PoseOnlyResult(
+        pose=pose_out,
+        mask_inlier=mask,
+        mask_inlier_right=mask,
+        success=jnp.all(jnp.isfinite(pose_out), axis=(1, 2)),
+        converged=carry.converged,
+        num_iterations=carry.it_b,
+        info=carry.info,
+        num_info=carry.num_info,
+        debug_poses=debug_poses,
+        num_debug=carry.it_b,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def _solve_planar_stereo_batched_fused(
+    points, pixels_left, pixels_right, valid, intrinsics_left,
+    intrinsics_right, pose_base_to_camera, pose_left_to_right,
+    poses_world_to_last, poses_world_to_current, options: Options,
+) -> PoseOnlyResult:
+    """Frames-along-lanes fused batched planar stereo solver (shared rig
+    and base->camera extrinsic)."""
+    from ..ops.pallas import pose_only_batched as BK
+
+    opts = options
+    dtype = jnp.float32
+    B, P = points.shape[:2]
+    huber = float(opts.outlier_handle.threshold_huber_loss)
+    thr_outlier = opts.outlier_handle.threshold_outlier_rejection
+    interp = opts.pallas == "interpret"
+
+    bc = jnp.asarray(pose_base_to_camera, dtype)
+    theta0, (R_cb, t_cb), (R_bc, t_bc) = _planar_prior(
+        bc,
+        jnp.asarray(poses_world_to_last, dtype),
+        jnp.asarray(poses_world_to_current, dtype),
+    )
+    R_lr, t_lr = _to_Rt(jnp.asarray(pose_left_to_right, dtype))
+    R_rl, t_rl = inverse_se3(R_lr, t_lr)
+    rig34 = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)
+    R_cb_right = jnp.einsum("ij,jk->ik", R_rl, R_cb, precision=_HIGHEST)
+
+    pixels_left = pixels_left.astype(dtype)
+    pixels_right = pixels_right.astype(dtype)
+    has_right = (pixels_right[..., 0] >= 0) & (pixels_right[..., 1] >= 0)
+    valid_right = valid & has_right
+    validf_l = valid.astype(dtype)
+    validf_r = valid_right.astype(dtype)
+    inv_n = 1.0 / jnp.maximum(
+        jnp.sum(validf_l, axis=-1) + jnp.sum(validf_r, axis=-1), 1.0
+    )
+
+    p_pad, b_pad = BK.plane_dims(B, P)
+    x_pl, y_pl, z_pl = BK.pack_frames_planes(
+        points.astype(dtype), p_pad, b_pad
+    )
+    pul, pvl = BK.pack_frames_planes(pixels_left, p_pad, b_pad)
+    pur, pvr = BK.pack_frames_planes(pixels_right, p_pad, b_pad)
+    vl_pl = BK.pack_frames_planes(validf_l, p_pad, b_pad)
+    vr_pl = BK.pack_frames_planes(validf_r, p_pad, b_pad)
+    il = jnp.asarray(intrinsics_left, dtype)
+    ir = jnp.asarray(intrinsics_right, dtype)
+    intr8 = BK.intr_planes(
+        [il[..., k] for k in range(4)] + [ir[..., k] for k in range(4)],
+        b_pad,
+    )
+    rcb34 = jnp.concatenate([R_cb, t_cb[:, None]], axis=1)
+    rcbr34 = jnp.concatenate(
+        [R_cb_right, jnp.zeros((3, 1), dtype)], axis=1
+    )
+
+    def stats_fn(theta):
+        R_p, t_p = planar_to_se3(theta)
+        R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
+        pose12 = BK.pose_planes(R_l, t_l, b_pad)
+        psi2 = BK.intr_planes(
+            [jnp.cos(theta[:, 2]), jnp.sin(theta[:, 2])], b_pad
+        )
+        st = BK.batched_planar_stereo_gn_stats(
+            pose12, intr8, psi2, rcb34, rcbr34, rig34,
+            x_pl, y_pl, z_pl, pul, pvl, vl_pl, pur, pvr, vr_pl,
+            huber=huber, interpret=interp,
+        )
+        st = st[:, :B].T
+        return st[:, :6], st[:, 6:9], st[:, 9]
+
+    def debug_fn(theta):
+        Rn, tn = planar_to_se3(theta)
+        Rni, tni = inverse_se3(Rn, tn)
+        return compose(Rni, tni, R_bc, t_bc)
+
+    carry = _fused_batch_loop(
+        stats_fn, _solve3, _planar_update_batched, debug_fn, theta0,
+        inv_n, 2.0, opts, B,
+    )
+    pose_out, debug_poses = _fused_batch_result(carry, debug_fn)
+
+    pts = points.astype(dtype)
+    R_p, t_p = planar_to_se3(carry.state)
+    R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
+    X_l = (
+        jnp.einsum("bij,bpj->bpi", R_l, pts, precision=_HIGHEST)
+        + t_l[:, None, :]
+    )
+    X_r = jnp.einsum("ij,bpj->bpi", R_rl, X_l, precision=_HIGHEST) + t_rl
+
+    def cam4(intr):
+        return (
+            jnp.expand_dims(intr[..., k], -1) if intr.ndim == 2 else intr[k]
+            for k in range(4)
+        )
+
+    fxl, fyl, cxl, cyl = cam4(il)
+    fxr, fyr, cxr, cyr = cam4(ir)
+    _, _, man_l = residual_and_weight(
+        X_l, pixels_left, fxl, fyl, cxl, cyl, huber
+    )
+    _, _, man_r = residual_and_weight(
+        X_r, pixels_right, fxr, fyr, cxr, cyr, huber
+    )
+    mask_l = valid & (man_l < thr_outlier)
+    mask_r = valid_right & (man_r < thr_outlier)
+
+    return PoseOnlyResult(
+        pose=pose_out,
+        mask_inlier=mask_l,
+        mask_inlier_right=mask_r,
+        success=jnp.all(jnp.isfinite(pose_out), axis=(1, 2)),
+        converged=carry.converged,
+        num_iterations=carry.it_b,
+        info=carry.info,
+        num_info=carry.num_info,
+        debug_poses=debug_poses,
+        num_debug=carry.it_b,
+    )
+
+
+def _planar_update_batched(theta, delta):
+    """Batched left-compose of planar deltas (cpp:536-547)."""
+    dx, dy, dpsi = delta[:, 0], delta[:, 1], delta[:, 2]
+    c, s = jnp.cos(dpsi), jnp.sin(dpsi)
+    x, y, psi = theta[:, 0], theta[:, 1], theta[:, 2]
+    return jnp.stack(
+        [c * x - s * y + dx, s * x + c * y + dy, psi + dpsi], axis=-1
     )
 
 
@@ -1208,8 +1498,17 @@ def solve_monocular_planar3dof_batched(
     points, pixels, valid, intrinsics, pose_base_to_camera,
     poses_world_to_last, poses_world_to_current, options: Options,
 ) -> PoseOnlyResult:
-    """vmap of `solve_monocular_planar3dof_jax` over a leading frame axis.
-    The rig extrinsic (base->camera) is shared unless given per frame."""
+    """Batched planar mono over a leading frame axis; fused frames-along-
+    lanes kernel on TPU (shared base->camera extrinsic), vmap otherwise."""
+    if (
+        jnp.asarray(pose_base_to_camera).ndim == 2
+        and _use_fused_batched(options, points.shape[0], points.shape[1])
+    ):
+        return _solve_planar_mono_batched_fused(
+            points, pixels, valid, jnp.asarray(intrinsics),
+            pose_base_to_camera, poses_world_to_last,
+            poses_world_to_current, options,
+        )
     in_axes = (
         0, 0, 0,
         0 if intrinsics.ndim == 2 else None,
@@ -1228,7 +1527,19 @@ def solve_stereo_planar3dof_batched(
     intrinsics_right, pose_base_to_camera, pose_left_to_right,
     poses_world_to_last, poses_world_to_current, options: Options,
 ) -> PoseOnlyResult:
-    """vmap of `solve_stereo_planar3dof_jax` over a leading frame axis."""
+    """Batched planar stereo over a leading frame axis; fused frames-along-
+    lanes kernel on TPU (shared rig + base->camera), vmap otherwise."""
+    if (
+        jnp.asarray(pose_base_to_camera).ndim == 2
+        and jnp.asarray(pose_left_to_right).ndim == 2
+        and _use_fused_batched(options, points.shape[0], points.shape[1])
+    ):
+        return _solve_planar_stereo_batched_fused(
+            points, pixels_left, pixels_right, valid,
+            jnp.asarray(intrinsics_left), jnp.asarray(intrinsics_right),
+            pose_base_to_camera, pose_left_to_right,
+            poses_world_to_last, poses_world_to_current, options,
+        )
     in_axes = (
         0, 0, 0, 0,
         0 if intrinsics_left.ndim == 2 else None,

@@ -370,3 +370,95 @@ class TestFusedBatchedSolvers:
         )
         assert slim.info.shape[1] == 1
         assert slim.debug_poses.shape[1] == 1
+
+
+class TestFusedBatchedPlanarSolvers:
+    """Planar 3-DoF frames-along-lanes fused drivers vs the vmapped path."""
+
+    def _batch(self, stereo, B=4):
+        from tests.test_pose_only import TestPlanar3Dof
+
+        tp = TestPlanar3Dof()
+        probs = [
+            tp._make_problem(stereo=stereo, seed=10 + b) for b in range(B)
+        ]
+        stack = lambda k: jnp.asarray(
+            np.stack([p[k] for p in probs]), jnp.float32
+        )
+        return probs, stack
+
+    def test_planar_mono_fused_matches_vmap(self):
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+        from tests.test_pose_only import make_options
+
+        probs, stack = self._batch(stereo=False)
+        B = len(probs)
+        pts = stack("points")
+        args = (
+            pts,
+            stack("pixels"),
+            jnp.ones(pts.shape[:2], bool),
+            jnp.asarray(probs[0]["intrinsics"], jnp.float32),
+            jnp.asarray(probs[0]["base_to_camera"], jnp.float32),
+            stack("T_wlast"),
+            stack("T_wc_init"),
+        )
+        opts = make_options(max_iter=60)
+        ref = pose_only.solve_monocular_planar3dof_batched(
+            *args, opts.replace(pallas="never")
+        )
+        fused = pose_only.solve_monocular_planar3dof_batched(
+            *args, opts.replace(pallas="interpret")
+        )
+        assert bool(fused.success.all())
+        np.testing.assert_allclose(
+            np.asarray(fused.pose), np.asarray(ref.pose), atol=3e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.num_iterations), np.asarray(ref.num_iterations)
+        )
+        for b, p in enumerate(probs):
+            assert (
+                np.abs(np.asarray(fused.pose[b]) - p["T_wc_true"]).max()
+                < 1e-3
+            )
+
+    def test_planar_stereo_fused_matches_vmap(self):
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+        from tests.test_pose_only import make_options
+
+        probs, stack = self._batch(stereo=True)
+        B = len(probs)
+        pts = stack("points")
+        intr = jnp.asarray(probs[0]["intrinsics"], jnp.float32)
+        args = (
+            pts,
+            stack("pixels"),
+            stack("pixels_right"),
+            jnp.ones(pts.shape[:2], bool),
+            intr,
+            intr,
+            jnp.asarray(probs[0]["base_to_camera"], jnp.float32),
+            jnp.asarray(probs[0]["T_lr"], jnp.float32),
+            stack("T_wlast"),
+            stack("T_wc_init"),
+        )
+        opts = make_options(max_iter=60)
+        ref = pose_only.solve_stereo_planar3dof_batched(
+            *args, opts.replace(pallas="never")
+        )
+        fused = pose_only.solve_stereo_planar3dof_batched(
+            *args, opts.replace(pallas="interpret")
+        )
+        assert bool(fused.success.all())
+        np.testing.assert_allclose(
+            np.asarray(fused.pose), np.asarray(ref.pose), atol=3e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused.num_iterations), np.asarray(ref.num_iterations)
+        )
+        for b, p in enumerate(probs):
+            assert (
+                np.abs(np.asarray(fused.pose[b]) - p["T_wc_true"]).max()
+                < 1e-3
+            )
