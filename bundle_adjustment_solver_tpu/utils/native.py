@@ -39,15 +39,19 @@ def _build() -> pathlib.Path | None:
     out.parent.mkdir(parents=True, exist_ok=True)
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
-    cmd = [
+    base = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         str(src), "-o", str(out),
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except Exception:
-        return None
-    return out
+    # OpenMP parallelizes the per-point fill loop (~num_cores x at 12M
+    # observations); fall back to a serial build where unavailable.
+    for cmd in (base + ["-fopenmp"], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return out
+        except Exception:
+            continue
+    return None
 
 
 def get_lib() -> ctypes.CDLL | None:

@@ -160,48 +160,70 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
     for (int64_t i = 0; i < n; ++i) obs_of[cursor[obs_point[i]]++] = i;
   }
 
-  std::vector<int32_t> run_poses(static_cast<size_t>(kp));
-  for (int64_t p = 0; p < num_points; ++p) {
-    const int64_t row = rank_of_point[p];
-    point_ref[row] = static_cast<int32_t>(p);
-    X[row] = static_cast<float>(points[p * 3 + 0]);
-    X[mp + row] = static_cast<float>(points[p * 3 + 1]);
-    X[2 * mp + row] = static_cast<float>(points[p * 3 + 2]);
-    X[3 * mp + row] = point_is_opt[p] ? 1.0f : 0.0f;
+  // Per-point work writes only that point's padded row (rank_of_point is a
+  // permutation), so points parallelize with no synchronization beyond the
+  // shared error flag.
+  int err = 0;
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    std::vector<int32_t> run_poses(static_cast<size_t>(kp));
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 2048)
+#endif
+    for (int64_t p = 0; p < num_points; ++p) {
+      if (err) continue;
+      const int64_t row = rank_of_point[p];
+      point_ref[row] = static_cast<int32_t>(p);
+      X[row] = static_cast<float>(points[p * 3 + 0]);
+      X[mp + row] = static_cast<float>(points[p * 3 + 1]);
+      X[2 * mp + row] = static_cast<float>(points[p * 3 + 2]);
+      X[3 * mp + row] = point_is_opt[p] ? 1.0f : 0.0f;
 
-    // Collect the distinct observing poses in ascending order.
-    int64_t nslots = 0;
-    for (int64_t k = start[p]; k < start[p + 1]; ++k) {
-      const int32_t j = obs_pose[obs_of[static_cast<size_t>(k)]];
-      int64_t lo = 0;
-      while (lo < nslots && run_poses[lo] < j) lo++;
-      if (lo < nslots && run_poses[lo] == j) continue;
-      if (nslots >= kp) return -2;  // caller sized kp too small
-      for (int64_t m = nslots; m > lo; --m) run_poses[m] = run_poses[m - 1];
-      run_poses[lo] = j;
-      nslots++;
-    }
-    for (int64_t s = 0; s < nslots; ++s) {
-      const int32_t j = run_poses[s];
-      slot_pose[s * mp + row] = j;
-      const int32_t opt = pose_opt_of[j];
-      slot_opt[s * mp + row] = (opt == n_opt) ? -1 : opt;
-    }
-    // Scatter pixels into the cam-major planes.
-    for (int64_t k = start[p]; k < start[p + 1]; ++k) {
-      const int64_t o = obs_of[static_cast<size_t>(k)];
-      const int32_t j = obs_pose[o];
-      int64_t s = 0;
-      while (run_poses[s] != j) s++;
-      const int64_t c = obs_cam[o];
-      if (c < 0 || c >= num_cams) return -3;
-      const int64_t plane_row = c * kp + s;
-      u_plane[plane_row * mp + row] = static_cast<float>(obs_pixel[o * 2 + 0]);
-      v_plane[plane_row * mp + row] = static_cast<float>(obs_pixel[o * 2 + 1]);
-      valid_plane[plane_row * mp + row] = 1.0f;
+      // Collect the distinct observing poses in ascending order.
+      int64_t nslots = 0;
+      for (int64_t k = start[p]; k < start[p + 1]; ++k) {
+        const int32_t j = obs_pose[obs_of[static_cast<size_t>(k)]];
+        int64_t lo = 0;
+        while (lo < nslots && run_poses[lo] < j) lo++;
+        if (lo < nslots && run_poses[lo] == j) continue;
+        if (nslots >= kp) {  // caller sized kp too small
+          err = -2;
+          break;
+        }
+        for (int64_t m = nslots; m > lo; --m) run_poses[m] = run_poses[m - 1];
+        run_poses[lo] = j;
+        nslots++;
+      }
+      if (err) continue;
+      for (int64_t s = 0; s < nslots; ++s) {
+        const int32_t j = run_poses[s];
+        slot_pose[s * mp + row] = j;
+        const int32_t opt = pose_opt_of[j];
+        slot_opt[s * mp + row] = (opt == n_opt) ? -1 : opt;
+      }
+      // Scatter pixels into the cam-major planes.
+      for (int64_t k = start[p]; k < start[p + 1]; ++k) {
+        const int64_t o = obs_of[static_cast<size_t>(k)];
+        const int32_t j = obs_pose[o];
+        int64_t s = 0;
+        while (run_poses[s] != j) s++;
+        const int64_t c = obs_cam[o];
+        if (c < 0 || c >= num_cams) {
+          err = -3;
+          break;
+        }
+        const int64_t plane_row = c * kp + s;
+        u_plane[plane_row * mp + row] =
+            static_cast<float>(obs_pixel[o * 2 + 0]);
+        v_plane[plane_row * mp + row] =
+            static_cast<float>(obs_pixel[o * 2 + 1]);
+        valid_plane[plane_row * mp + row] = 1.0f;
+      }
     }
   }
-  return 0;
+  return err;
 }
 
 // Greedy contiguous landmark partition balancing observation counts.

@@ -145,11 +145,18 @@ def main() -> int:
         rmse_ref = float(s_ref.final_rmse_px)
         rmse_pm = float(s_pm.final_rmse_px)
         rel = abs(c_pm - c_ref) / max(abs(c_ref), 1e-6)
-        ok = rel < 1e-3 and rmse_pm < 0.02 and rmse_ref < 0.02
+        # Noise-free problems converge to the f32 rounding floor, where
+        # per-observation residuals are ~1e-7 of the scaled pixel values
+        # and RELATIVE cost agreement is ill-conditioned. Strict = BOTH
+        # engines below a milli-pixel RMSE (vs a ~10-100 px initial
+        # misalignment -- 4+ orders of magnitude of agreed convergence),
+        # or tight relative cost agreement away from the floor.
+        at_floor = rmse_ref < 1e-3 and rmse_pm < 1e-3
+        ok = at_floor or (rel < 1e-3 and rmse_pm < 0.02 and rmse_ref < 0.02)
         print(
             f"strict {case}: N={n_poses} M={n_points} w={window}"
             f" ref={c_ref:.6f} pm={c_pm:.6f} rel={rel:.2e}"
-            f" rmse=({rmse_ref:.4f},{rmse_pm:.4f})"
+            f" rmse_px=({rmse_ref:.5f},{rmse_pm:.5f})"
             f" {'OK' if ok else 'MISMATCH'}"
         )
         failures += 0 if ok else 1
