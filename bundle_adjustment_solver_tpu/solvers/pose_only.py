@@ -74,10 +74,11 @@ from ..summary import (
 _FIXED_LAMBDA = 1e-5  # reference: pose-only solvers never adapt damping (cpp:57)
 _HIGHEST = jax.lax.Precision.HIGHEST
 
-# 'auto' pallas threshold: below this many points the fused kernel's grid
-# overhead outweighs the HBM-Jacobian saving (measured on v5e; the XLA path
-# fuses fully into registers at small P anyway).
-_PALLAS_AUTO_MIN_POINTS = 2048
+# 'auto' pallas threshold, measured on v5e (forced-iteration mono, slope
+# over 1000->5000 iters): below ~4k points both paths run ~16.5k iters/s
+# (the 6x6 solve + se3 step dominate, ratio 0.97-1.01); the fused kernel
+# pulls ahead from P=4096 (1.01x), 16k (1.12x), 300k (1.6x+).
+_PALLAS_AUTO_MIN_POINTS = 4096
 
 
 def _use_pallas(options: Options, num_points: int) -> bool:
