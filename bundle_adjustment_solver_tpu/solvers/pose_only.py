@@ -1561,6 +1561,100 @@ def solve_stereo_planar3dof_batched(
 # ---------------------------------------------------------------------------
 
 
+def _chunked_pose_only(step, pose0, options: Options):
+    """Chunked-dispatch reporting mode for the pose-only solvers
+    (Options.time_iterations): dispatch ONE GN iteration per jit call so
+    the host can wall-clock each (the reference's per-iteration
+    `iter_time`, pose_only cpp:126/139). Pose-only GN carries only the
+    pose between iterations, so a max_iter=1 call per step with host-side
+    convergence checks replays the in-jit while_loop exactly; sticky
+    'reference' masks accumulate across chunks by the same AND the
+    reference applies per iteration.
+
+    `step(pose, opts1)` runs one iteration from `pose`. Returns
+    (pose, mask_l, mask_r, summary).
+
+    Note: each chunk round-trips the pose through the user-facing
+    write-back (T_cw -> T_wc -> T_cw in f32), so the trajectory can differ
+    from the monolithic loop by rounding -- near a convergence threshold
+    that can shift the stop point by one iteration. Final poses agree to
+    f32 precision.
+    """
+    import time as _time
+
+    from ..options import ConvergenceHandle, IterationHandle
+
+    opts1 = options.replace(
+        iteration_handle=IterationHandle(1),
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        record_history=True,
+    )
+    max_iter = options.iteration_handle.max_num_iterations
+    thr_step = options.convergence_handle.threshold_step_size
+    thr_cost = options.convergence_handle.threshold_cost_change
+    sticky = getattr(options, "outlier_mask", "final") == "reference"
+
+    err_prev = 1e10
+    pose = jnp.asarray(pose0, jnp.float32)
+    info_rows, iter_times = [], []
+    mask_l = mask_r = None
+    converged = True
+    for it in range(max_iter):
+        t0 = _time.perf_counter()
+        res = step(pose, opts1)
+        err_curr = float(res.info[0, INFO_COST])  # fetch doubles as sync
+        iter_times.append((_time.perf_counter() - t0) * 1e3)
+        step_norm = float(res.info[0, INFO_ABS_STEP])
+        pose = res.pose
+        ml = np.asarray(res.mask_inlier)
+        mr = np.asarray(res.mask_inlier_right)
+        if sticky and mask_l is not None:
+            mask_l = mask_l & ml
+            mask_r = mask_r & mr
+        else:
+            mask_l, mask_r = ml, mr
+        # Convergence math in f32, exactly like the in-jit loop (host f64
+        # can flip the final iteration at the threshold boundary).
+        delta_err = abs(
+            np.float32(np.float32(err_curr) - np.float32(err_prev))
+        )
+        conv_now = bool(
+            np.float32(step_norm) < np.float32(thr_step)
+            or delta_err < np.float32(thr_cost)
+        )
+        at_last = it == max_iter - 1
+        if not conv_now:
+            # The in-chunk cost_change column compared against the chunk's
+            # own 1e10 init; restore the cross-iteration value.
+            row = np.asarray(res.info[0]).copy()
+            row[INFO_COST_CHANGE] = delta_err
+            info_rows.append(row)
+        if conv_now:
+            break
+        if at_last:
+            converged = False
+        err_prev = err_curr
+        if not np.isfinite(err_curr):
+            break
+    info = (
+        np.stack(info_rows)
+        if info_rows
+        else np.zeros((0, INFO_NUM_COLS), np.float32)
+    )
+    iter_times = np.asarray(iter_times[: len(info_rows)])
+    summary = Summary.from_device_buffers(
+        info=info,
+        num_iterations=len(info_rows),
+        converged=converged,
+        max_iteration=max_iter,
+        threshold_step_size=thr_step,
+        threshold_cost_change=thr_cost,
+        total_time_ms=float(np.asarray(iter_times).sum()) if len(iter_times) else 0.0,
+        iter_times_ms=iter_times if len(iter_times) else None,
+    )
+    return pose, mask_l, mask_r, summary
+
+
 def _result_summary(res: PoseOnlyResult, options: Options) -> Summary:
     return Summary.from_device_buffers(
         info=np.asarray(res.info),
@@ -1584,11 +1678,26 @@ def solve_monocular_6dof(
     points = jnp.asarray(points, dtype=jnp.float32)
     pixels = jnp.asarray(pixels, dtype=jnp.float32)
     valid = jnp.ones(points.shape[0], dtype=bool)
+    intr = jnp.asarray(intrinsics, dtype=jnp.float32)
+    if getattr(options, "time_iterations", False):
+        def step(pose, o1):
+            return solve_monocular_6dof_jax(
+                points, pixels, valid, intr, pose, o1
+            )
+
+        pose_d, mask, _, summary = _chunked_pose_only(
+            step, pose_reference_to_current, options
+        )
+        pose = np.asarray(pose_d)
+        ok = bool(np.isfinite(pose).all())
+        if not ok:
+            pose = np.asarray(pose_reference_to_current)
+        return pose, mask, summary, ok
     res = solve_monocular_6dof_jax(
         points,
         pixels,
         valid,
-        jnp.asarray(intrinsics, dtype=jnp.float32),
+        intr,
         jnp.asarray(pose_reference_to_current, dtype=jnp.float32),
         options,
     )
@@ -1612,14 +1721,29 @@ def solve_stereo_6dof(
     """Host wrapper mirroring Solve_Stereo_6Dof (h:36-49)."""
     points = jnp.asarray(points, dtype=jnp.float32)
     valid = jnp.ones(points.shape[0], dtype=bool)
-    res = solve_stereo_6dof_jax(
-        points,
+    sargs = (
         jnp.asarray(pixels_left, dtype=jnp.float32),
         jnp.asarray(pixels_right, dtype=jnp.float32),
         valid,
         jnp.asarray(intrinsics_left, dtype=jnp.float32),
         jnp.asarray(intrinsics_right, dtype=jnp.float32),
         jnp.asarray(pose_left_to_right, dtype=jnp.float32),
+    )
+    if getattr(options, "time_iterations", False):
+        def step(pose, o1):
+            return solve_stereo_6dof_jax(points, *sargs, pose, o1)
+
+        pose_d, mask_l, mask_r, summary = _chunked_pose_only(
+            step, pose_reference_to_current_left, options
+        )
+        pose = np.asarray(pose_d)
+        ok = bool(np.isfinite(pose).all())
+        if not ok:
+            pose = np.asarray(pose_reference_to_current_left)
+        return pose, mask_l, mask_r, summary, ok
+    res = solve_stereo_6dof_jax(
+        points,
+        *sargs,
         jnp.asarray(pose_reference_to_current_left, dtype=jnp.float32),
         options,
     )
@@ -1648,13 +1772,28 @@ def solve_monocular_planar3dof(
     """Host wrapper mirroring Solve_Monocular_Planar3Dof (h:50-58)."""
     points = jnp.asarray(points, dtype=jnp.float32)
     valid = jnp.ones(points.shape[0], dtype=bool)
-    res = solve_monocular_planar3dof_jax(
-        points,
+    pargs = (
         jnp.asarray(pixels, dtype=jnp.float32),
         valid,
         jnp.asarray(intrinsics, dtype=jnp.float32),
         jnp.asarray(pose_base_to_camera, dtype=jnp.float32),
         jnp.asarray(pose_world_to_last, dtype=jnp.float32),
+    )
+    if getattr(options, "time_iterations", False):
+        def step(pose, o1):
+            return solve_monocular_planar3dof_jax(points, *pargs, pose, o1)
+
+        pose_d, mask, _, summary = _chunked_pose_only(
+            step, pose_world_to_current, options
+        )
+        pose = np.asarray(pose_d)
+        ok = bool(np.isfinite(pose).all())
+        if not ok:
+            pose = np.asarray(pose_world_to_current)
+        return pose, mask, summary, ok
+    res = solve_monocular_planar3dof_jax(
+        points,
+        *pargs,
         jnp.asarray(pose_world_to_current, dtype=jnp.float32),
         options,
     )
@@ -1680,8 +1819,7 @@ def solve_stereo_planar3dof(
     """Host wrapper mirroring Solve_Stereo_Planar3Dof (h:59-67)."""
     points = jnp.asarray(points, dtype=jnp.float32)
     valid = jnp.ones(points.shape[0], dtype=bool)
-    res = solve_stereo_planar3dof_jax(
-        points,
+    pargs = (
         jnp.asarray(pixels_left, dtype=jnp.float32),
         jnp.asarray(pixels_right, dtype=jnp.float32),
         valid,
@@ -1690,6 +1828,22 @@ def solve_stereo_planar3dof(
         jnp.asarray(pose_base_to_camera, dtype=jnp.float32),
         jnp.asarray(pose_left_to_right, dtype=jnp.float32),
         jnp.asarray(pose_world_to_last, dtype=jnp.float32),
+    )
+    if getattr(options, "time_iterations", False):
+        def step(pose, o1):
+            return solve_stereo_planar3dof_jax(points, *pargs, pose, o1)
+
+        pose_d, mask_l, mask_r, summary = _chunked_pose_only(
+            step, pose_world_to_current, options
+        )
+        pose = np.asarray(pose_d)
+        ok = bool(np.isfinite(pose).all())
+        if not ok:
+            pose = np.asarray(pose_world_to_current)
+        return pose, mask_l, mask_r, summary, ok
+    res = solve_stereo_planar3dof_jax(
+        points,
+        *pargs,
         jnp.asarray(pose_world_to_current, dtype=jnp.float32),
         options,
     )

@@ -454,3 +454,86 @@ class TestRecordHistory:
         )
         assert ok
         assert np.abs(pose - p["T_wc_true"]).max() < 1e-3
+
+
+class TestChunkedIterTimes:
+    """Options.time_iterations=True: per-iteration wall times in the
+    summary (reference pose_only cpp:126/139), identical optimization."""
+
+    def test_mono_chunked_matches_monolithic(self):
+        prob = mono_pose_only_problem(num_points=2000, seed=4, pixel_noise=0.5)
+        opts = make_options(max_iter=40)
+        pose_m, mask_m, sum_m, ok_m = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial, opts
+        )
+        pose_c, mask_c, sum_c, ok_c = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial,
+            opts.replace(time_iterations=True),
+        )
+        assert ok_m and ok_c
+        np.testing.assert_allclose(pose_c, pose_m, atol=1e-5)
+        assert (mask_c == mask_m).mean() > 0.995
+        infos_m = sum_m.optimization_info_list
+        infos_c = sum_c.optimization_info_list
+        # The chunked pose round-trips through the user-facing write-back
+        # each step (f32), so the stop point may shift by one iteration.
+        assert abs(len(infos_c) - len(infos_m)) <= 1
+        for a, b in zip(infos_c, infos_m):
+            np.testing.assert_allclose(a.cost, b.cost, rtol=1e-4)
+        assert all(oi.iter_time > 0.0 for oi in infos_c)
+        assert all(oi.iter_time == -1.0 for oi in infos_m)
+        assert sum_c.convergence_status == sum_m.convergence_status
+
+    def test_mono_chunked_sticky_mask(self):
+        prob = mono_pose_only_problem(num_points=1500, seed=7, pixel_noise=1.0)
+        opts = make_options(max_iter=40, outlier=2.0).replace(
+            outlier_mask="reference"
+        )
+        _, mask_m, _, _ = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial, opts
+        )
+        _, mask_c, _, _ = pose_only.solve_monocular_6dof(
+            prob.points, prob.pixels, prob.intrinsics, prob.pose_initial,
+            opts.replace(time_iterations=True),
+        )
+        assert (mask_c == mask_m).mean() > 0.995
+
+    def test_planar_chunked_matches_monolithic(self):
+        tp = TestPlanar3Dof()
+        p = tp._make_problem(seed=6)
+        opts = make_options(max_iter=60)
+        pose_m, _, sum_m, ok_m = pose_only.solve_monocular_planar3dof(
+            p["points"], p["pixels"], p["intrinsics"], p["base_to_camera"],
+            p["T_wlast"], p["T_wc_init"], opts,
+        )
+        pose_c, _, sum_c, ok_c = pose_only.solve_monocular_planar3dof(
+            p["points"], p["pixels"], p["intrinsics"], p["base_to_camera"],
+            p["T_wlast"], p["T_wc_init"],
+            opts.replace(time_iterations=True),
+        )
+        assert ok_m and ok_c
+        np.testing.assert_allclose(pose_c, pose_m, atol=1e-5)
+        assert all(
+            oi.iter_time > 0.0 for oi in sum_c.optimization_info_list
+        )
+
+    def test_stereo_chunked_matches_monolithic(self):
+        ts = TestStereo6Dof()
+        prob, pix_r, T_lr = ts._make_problem()
+        opts = make_options(max_iter=40)
+        args = (
+            prob.points, prob.pixels, pix_r, prob.intrinsics,
+            prob.intrinsics, T_lr, prob.pose_initial,
+        )
+        pose_m, ml_m, mr_m, sum_m, ok_m = pose_only.solve_stereo_6dof(
+            *args, opts
+        )
+        pose_c, ml_c, mr_c, sum_c, ok_c = pose_only.solve_stereo_6dof(
+            *args, opts.replace(time_iterations=True)
+        )
+        assert ok_m and ok_c
+        np.testing.assert_allclose(pose_c, pose_m, atol=1e-5)
+        assert (ml_c == ml_m).mean() > 0.99 and (mr_c == mr_m).mean() > 0.99
+        assert all(
+            oi.iter_time > 0.0 for oi in sum_c.optimization_info_list
+        )
