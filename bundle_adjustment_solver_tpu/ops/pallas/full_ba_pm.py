@@ -64,17 +64,39 @@ _TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
 # the unchunked kernel.
 _WINDOW_CHUNK = 256
 
+# Pose/x tables are (rows, 16|8) arrays whose narrow lane dim pads to 128 in
+# VMEM (8-16x bloat): a 50k-pose table would need ~25 MB of the ~16 MB VMEM.
+# Above this row count the tables stay in HBM (memory_space ANY) and each
+# block DMAs only its own (P, width) window into scratch.
+_TABLE_VMEM_ROWS = 12288
+
+
+def _table_is_big(rows: int) -> bool:
+    return rows > _TABLE_VMEM_ROWS
+
+
+def _start_window_copy(tbl_hbm_ref, base, P, scratch_ref, sem):
+    """Begin the async copy of rows [base, base+P) into scratch."""
+    cp = pltpu.make_async_copy(
+        tbl_hbm_ref.at[pl.ds(base, P)], scratch_ref, sem
+    )
+    cp.start()
+    return cp
+
 
 def _gather_window(tbl_ref, base, P, idx, width):
     """Chunked windowed one-hot gather: sum over window chunks of
     tbl[base + c0 : base + c0 + CH]^T @ onehot(idx - base - c0).
     idx: (Kp, bm) table offsets relative to `base`. Returns (width, Kp*bm).
-    Exact f32 (HIGHEST dots): used for pose rows."""
+    Exact f32 (HIGHEST dots): used for pose rows. The table may be wider
+    than `width` (big-mode scratch slabs are 128-lane padded for DMA
+    alignment); extra lanes are sliced off after the load."""
     ch = min(P, _WINDOW_CHUNK)
     out = None
     for c0 in range(0, P, ch):
         ohc = _onehot_flat(idx - c0, ch)
-        part = _gather_rows(tbl_ref[pl.ds(base + c0, ch), :], ohc, width)
+        slab = tbl_ref[pl.ds(base + c0, ch), :][:, :width]
+        part = _gather_rows(slab, ohc, width)
         out = part if out is None else out + part
     return out
 
@@ -265,9 +287,10 @@ def _inverse_sym3(c, det_floor=1e-30):
     return [i00, i01, i02, i11, i12, i22]
 
 
-def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
-                     cam_ref, scal_ref, obs_ref, spose_ref, sopt_ref, X_ref,
-                     U_ref, Cb_ref, Apan_ref):
+def _assemble_kernel(shape: PMShape, big: bool, gbase_ref, sbase_ref,
+                     pose_tbl_ref, cam_ref, scal_ref, obs_ref, spose_ref,
+                     sopt_ref, X_ref, U_ref, Cb_ref, Apan_ref,
+                     scratch_ref=None, sem=None):
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     i = pl.program_id(0)
     gbase = gbase_ref[i]
@@ -275,10 +298,19 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     lam = scal_ref[0, 0]
     huber = scal_ref[0, 1]
 
+    if big:
+        # Large-N: the pose table lives in HBM; DMA this block's window.
+        cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
+        idx_g = spose_ref[:] - gbase  # (Kp, bm)
+        cp.wait()
+        tbl, tbase = scratch_ref, 0
+    else:
+        idx_g = spose_ref[:] - gbase
+        tbl, tbase = pose_tbl_ref, gbase
+
     # Windowed one-hot gather of pose rows: wide MXU dots, chunked over the
     # window so VMEM stays bounded; pose values must stay exact f32.
-    idx_g = spose_ref[:] - gbase  # (Kp, bm)
-    g = _gather_window(pose_tbl_ref, gbase, P, idx_g, 16).reshape(16, Kp, bm)
+    g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
 
     X_blk = X_ref[:]  # (4, bm)
     pmask = X_blk[3:4, :]  # (1, bm) 1.0 for optimizable landmarks
@@ -374,11 +406,14 @@ def _assemble_kernel(shape: PMShape, gbase_ref, sbase_ref, pose_tbl_ref,
     _scatter_window_hilo(Apan_ref, P, idx_s, contrib)
 
 
-def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
-                   Cb_ref, sopt_ref, out_pan_ref, t_ref):
+def _matvec_kernel(shape: PMShape, mode: str, big: bool, sbase_ref,
+                   x_tbl_ref, U_ref, Cb_ref, sopt_ref, out_pan_ref, t_ref,
+                   scratch_ref=None, sem=None):
     Kp, bm, P = shape.slots, shape.block_points, shape.window
     i = pl.program_id(0)
     sbase = sbase_ref[i]
+    if big and mode != "rhs":
+        cp = _start_window_copy(x_tbl_ref, sbase, P, scratch_ref, sem)
     idx_s = sopt_ref[:] - sbase  # (Kp, bm)
 
     # One-hot chunks built ONCE and shared by the gather and the scatter
@@ -401,10 +436,15 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         # Gather x at every slot's pose in wide chunked dots (fixed slots
         # gather zeros), then t = sum_slots U^T x (pass 1 of the S matvec);
         # all element math runs on full-sublane (Kp, bm) planes.
+        if big:
+            cp.wait()
+            tbl, tbase = scratch_ref, 0
+        else:
+            tbl, tbase = x_tbl_ref, sbase
         xg = None
         for c0, oh in ohs:
             part = _gather_rows_hilo(
-                x_tbl_ref[pl.ds(sbase + c0, ch), :], oh, 8
+                tbl[pl.ds(tbase + c0, ch), :][:, :8], oh, 8
             )
             xg = part if xg is None else xg + part
         xg_all = xg.reshape(8, Kp, bm)
@@ -442,15 +482,23 @@ def _matvec_kernel(shape: PMShape, mode: str, sbase_ref, x_tbl_ref, U_ref,
         )
 
 
-def _cost_kernel(shape: PMShape, gbase_ref, pose_tbl_ref, cam_ref, scal_ref,
-                 obs_ref, spose_ref, X_ref, cost_ref):
+def _cost_kernel(shape: PMShape, big: bool, gbase_ref, pose_tbl_ref,
+                 cam_ref, scal_ref, obs_ref, spose_ref, X_ref, cost_ref,
+                 scratch_ref=None, sem=None):
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     i = pl.program_id(0)
     gbase = gbase_ref[i]
     huber = scal_ref[0, 1]
 
-    idx_g = spose_ref[:] - gbase
-    g = _gather_window(pose_tbl_ref, gbase, P, idx_g, 16).reshape(16, Kp, bm)
+    if big:
+        cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
+        idx_g = spose_ref[:] - gbase
+        cp.wait()
+        tbl, tbase = scratch_ref, 0
+    else:
+        idx_g = spose_ref[:] - gbase
+        tbl, tbase = pose_tbl_ref, gbase
+    g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
 
     per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
     s_norm = jnp.float32(0)
@@ -554,11 +602,20 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
     cam_tbl = _cam_table(rig)
     scal = jnp.stack([lam, jnp.asarray(huber, jnp.float32)]).reshape(1, 2)
 
+    big = _table_is_big(pose_tbl.shape[0])
+    if big:
+        # HBM DMA slices must be 128-lane aligned (Mosaic tiling); pad.
+        pose_tbl = jnp.pad(pose_tbl, ((0, 0), (0, 128 - pose_tbl.shape[1])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # gbase, sbase
         grid=(nblocks,),
+        scratch_shapes=(
+            [pltpu.VMEM((P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            if big
+            else []
+        ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pose_tbl (N+P, 16)
+            pl.BlockSpec(memory_space=pltpu.ANY if big else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl (C, 16)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 2)
             pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
@@ -580,7 +637,7 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
         ],
     )
     U, Cb, Apan = pl.pallas_call(
-        functools.partial(_assemble_kernel, shape),
+        functools.partial(_assemble_kernel, shape, big),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((18, Kp, Mp), jnp.dtype(u_dtype)),
@@ -633,11 +690,19 @@ def assemble_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig,
 def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
     Kp, bm, P = shape.slots, shape.block_points, shape.window
     Mp, nblocks = shape.padded_points, shape.num_blocks
+    big = _table_is_big(x_tbl.shape[0])
+    if big:
+        x_tbl = jnp.pad(x_tbl, ((0, 0), (0, 128 - x_tbl.shape[1])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sbase
         grid=(nblocks,),
+        scratch_shapes=(
+            [pltpu.VMEM((P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            if big
+            else []
+        ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x_tbl
+            pl.BlockSpec(memory_space=pltpu.ANY if big else pltpu.VMEM),
             pl.BlockSpec((18, Kp, bm), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),  # U
             pl.BlockSpec((16, bm), lambda i, *_: (0, i),
@@ -653,7 +718,7 @@ def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_matvec_kernel, shape, mode),
+        functools.partial(_matvec_kernel, shape, mode, big),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nblocks, P, 8), jnp.float32),
@@ -716,11 +781,19 @@ def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
         [jnp.asarray(0.0, jnp.float32), jnp.asarray(huber, jnp.float32)]
     ).reshape(1, 2)
 
+    big = _table_is_big(pose_tbl.shape[0])
+    if big:
+        pose_tbl = jnp.pad(pose_tbl, ((0, 0), (0, 128 - pose_tbl.shape[1])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # gbase
         grid=(nblocks,),
+        scratch_shapes=(
+            [pltpu.VMEM((P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            if big
+            else []
+        ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # pose_tbl
+            pl.BlockSpec(memory_space=pltpu.ANY if big else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
             pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
@@ -734,7 +807,7 @@ def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
                                memory_space=pltpu.VMEM),
     )
     tot = pl.pallas_call(
-        functools.partial(_cost_kernel, shape),
+        functools.partial(_cost_kernel, shape, big),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         interpret=interpret,

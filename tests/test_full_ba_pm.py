@@ -457,3 +457,75 @@ def test_wide_window_chunking():
         float(state_pm.final_cost), float(state_ref.final_cost),
         rtol=1e-2, atol=1e-2,
     )
+
+
+class TestBigTableMode:
+    """Large-N tables (HBM + per-block DMA windows) vs the VMEM-resident
+    path: identical results when the threshold is forced low."""
+
+    def test_big_table_solve_matches_resident(self, monkeypatch):
+        import numpy as np
+
+        from bundle_adjustment_solver_tpu.models.problem import (
+            finalized_from_arrays,
+        )
+        from bundle_adjustment_solver_tpu.ops.pallas import full_ba_pm as KK
+        from bundle_adjustment_solver_tpu.options import (
+            ConvergenceHandle,
+            IterationHandle,
+            Options,
+            SolverType,
+        )
+        from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            corridor_ba_problem,
+        )
+
+        prob = corridor_ba_problem(
+            num_poses=20, num_points=600, window=4, seed=13
+        )
+        fixed = np.zeros(20, bool)
+        fixed[prob.fixed_pose_ids] = True
+        problem, shape, host = finalized_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, return_host=True,
+        )
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(8),
+            reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-10,
+        )
+        def clear_jits():
+            # _table_is_big is read at trace time; identical static args
+            # would otherwise reuse the resident-mode executables.
+            for fn in (
+                full_ba_pm._solve_pm_jax,
+                KK.assemble_pm_partials,
+                KK.matvec_corr_pm,
+                KK.rhs_corr_pm,
+                KK.cost_pm,
+            ):
+                fn.clear_cache()
+
+        s_res, _ = full_ba_pm.solve_pm(problem, shape, opts, host=host)
+        monkeypatch.setattr(KK, "_TABLE_VMEM_ROWS", 4)  # force big mode
+        clear_jits()
+        try:
+            assert KK._table_is_big(shape.num_poses + 1)
+            s_big, _ = full_ba_pm.solve_pm(problem, shape, opts, host=host)
+        finally:
+            monkeypatch.undo()
+            clear_jits()  # drop big-mode executables from the shared cache
+        np.testing.assert_allclose(
+            float(s_big.final_cost), float(s_res.final_cost), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_big.poses_world_to_camera),
+            np.asarray(s_res.poses_world_to_camera),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_big.points), np.asarray(s_res.points), atol=1e-6
+        )
