@@ -3,8 +3,11 @@
 The reference solves one frame per call (pose_only_...h:50-67); SURVEY.md §2
 prescribes batching thousands of independent frames per chip AND sharding the
 frame axis across the mesh. Frames never communicate, so this is pure data
-parallelism: inputs are placed with a NamedSharding over the leading frame
-axis and the vmapped solver partitions automatically under jit.
+parallelism: `shard_map` splits the leading frame axis over the mesh and each
+device runs the full batched solver (the frames-along-lanes fused Pallas
+kernels on TPU, the vmapped XLA path elsewhere) on its local block -- a
+Pallas call does not partition under plain GSPMD jit, so the explicit
+shard_map is what makes the fused path multi-chip.
 """
 
 from __future__ import annotations
@@ -26,6 +29,11 @@ from .mesh import DATA_AXIS, data_mesh
 def _shard_leading(mesh, *arrays):
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def _result_specs() -> PoseOnlyResult:
+    """Every PoseOnlyResult leaf carries a leading frame axis."""
+    return PoseOnlyResult(*([P(DATA_AXIS)] * len(PoseOnlyResult._fields)))
 
 
 def solve_monocular_6dof_sharded(
@@ -50,9 +58,20 @@ def solve_monocular_6dof_sharded(
     intrinsics = jax.device_put(
         jnp.asarray(intrinsics), NamedSharding(mesh, P())
     )
-    return solve_monocular_6dof_batched(
-        points, pixels, valid, intrinsics, poses, options
-    )
+
+    def local(p, x, v, i, ps):
+        return solve_monocular_6dof_batched(p, x, v, i, ps, options)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
+                  P(DATA_AXIS)),
+        out_specs=_result_specs(),
+        # pallas_call carries no varying-mesh-axis info (cf. sharded_pm.py);
+        # frames are independent, so there are no collectives to check.
+        check_vma=False,
+    )(points, pixels, valid, intrinsics, poses)
 
 
 def solve_stereo_6dof_sharded(
@@ -77,14 +96,18 @@ def solve_stereo_6dof_sharded(
     intrinsics_left = jax.device_put(jnp.asarray(intrinsics_left), repl)
     intrinsics_right = jax.device_put(jnp.asarray(intrinsics_right), repl)
     pose_left_to_right = jax.device_put(jnp.asarray(pose_left_to_right), repl)
-    return solve_stereo_6dof_batched(
-        points,
-        pixels_left,
-        pixels_right,
-        valid,
-        intrinsics_left,
-        intrinsics_right,
-        pose_left_to_right,
-        poses,
-        options,
-    )
+
+    def local(p, xl, xr, v, il, ir, t_lr, ps):
+        return solve_stereo_6dof_batched(
+            p, xl, xr, v, il, ir, t_lr, ps, options
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P(), P(DATA_AXIS)),
+        out_specs=_result_specs(),
+        check_vma=False,
+    )(points, pixels_left, pixels_right, valid, intrinsics_left,
+      intrinsics_right, pose_left_to_right, poses)

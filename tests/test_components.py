@@ -265,3 +265,47 @@ class TestShardedBatchedPoseOnly:
         np.testing.assert_allclose(
             np.asarray(sharded.pose), np.asarray(plain.pose), atol=1e-5
         )
+
+    def test_sharded_fused_kernel_matches_unsharded(self):
+        """The fused frames-along-lanes kernel under shard_map (interpret
+        mode): each device runs the Pallas solver on its local frames."""
+        from bundle_adjustment_solver_tpu.parallel.batched_pose_only import (
+            solve_monocular_6dof_sharded,
+        )
+        from bundle_adjustment_solver_tpu.parallel.mesh import data_mesh
+        from bundle_adjustment_solver_tpu.solvers.pose_only import (
+            solve_monocular_6dof_batched,
+        )
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            mono_pose_only_problem,
+        )
+
+        B, P = 8, 200
+        probs = [mono_pose_only_problem(num_points=P, seed=s) for s in range(B)]
+        points = jnp.asarray(np.stack([p.points for p in probs]), jnp.float32)
+        pixels = jnp.asarray(np.stack([p.pixels for p in probs]), jnp.float32)
+        valid = jnp.ones((B, P), bool)
+        intr = jnp.asarray(probs[0].intrinsics, jnp.float32)
+        poses0 = jnp.asarray(
+            np.stack([p.pose_initial for p in probs]), jnp.float32
+        )
+        opts = Options(
+            convergence_handle=ConvergenceHandle(1e-6, 1e-6),
+            outlier_handle=OutlierHandle(1.0, 2.5),
+            iteration_handle=IterationHandle(40),
+        ).replace(pallas="interpret")
+        mesh = data_mesh(8)
+        sharded = solve_monocular_6dof_sharded(
+            points, pixels, valid, intr, poses0, opts, mesh=mesh
+        )
+        plain = solve_monocular_6dof_batched(
+            points, pixels, valid, intr, poses0, opts
+        )
+        assert bool(sharded.success.all())
+        np.testing.assert_allclose(
+            np.asarray(sharded.pose), np.asarray(plain.pose), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.num_iterations),
+            np.asarray(plain.num_iterations),
+        )
