@@ -396,3 +396,89 @@ def batched_planar_stereo_gn_stats(pose12, intr, psi2, rcb34, rcbr34,
         3, 9, p_pad, b_pad, interpret,
     )(pose12, intr, psi2, rcb34, rcbr34, rig34,
       x, y, z, pul, pvl, vl, pur, pvr, vr)
+
+
+# ---------------------------------------------------------------------------
+# Plane-orientation SE(3) math for the lockstep drivers: keeping the pose
+# carry as (12, B) rows makes the per-iteration update a single elementwise
+# fusion instead of batched (B, 3, 3) matmuls (which tile-pad 9 -> 1024
+# elements and dominated the fused solvers' device time -- profiled on v5e:
+# kernel 16%, XLA glue 84%).
+# ---------------------------------------------------------------------------
+
+
+def se3_exp_rows(xi_rows):
+    """(6, B) twist rows [v; w] -> ((9, B) R rows, (3, B) t rows).
+
+    Same guarded coefficients as ops/lie.se3_exp; wx^2 is expanded
+    algebraically as w w^T - theta^2 I (identical up to rounding).
+    """
+    from ...ops.lie import (
+        _one_minus_cos_over_theta_sq,
+        _sin_theta_over_theta,
+        _theta_minus_sin_over_theta_cubed,
+    )
+
+    v0, v1, v2 = xi_rows[0], xi_rows[1], xi_rows[2]
+    w0, w1, w2 = xi_rows[3], xi_rows[4], xi_rows[5]
+    th2 = w0 * w0 + w1 * w1 + w2 * w2
+    a = _sin_theta_over_theta(th2)
+    b = _one_minus_cos_over_theta_sq(th2)
+    c = _theta_minus_sin_over_theta_cubed(th2)
+
+    def rot(coef_skew, coef_sq):
+        # I + cs * wx + cq * (w w^T - th2 I), row-major 9 rows.
+        return [
+            1.0 + coef_sq * (w0 * w0 - th2),
+            -coef_skew * w2 + coef_sq * w0 * w1,
+            coef_skew * w1 + coef_sq * w0 * w2,
+            coef_skew * w2 + coef_sq * w0 * w1,
+            1.0 + coef_sq * (w1 * w1 - th2),
+            -coef_skew * w0 + coef_sq * w1 * w2,
+            -coef_skew * w1 + coef_sq * w0 * w2,
+            coef_skew * w0 + coef_sq * w1 * w2,
+            1.0 + coef_sq * (w2 * w2 - th2),
+        ]
+
+    R = rot(a, b)
+    V = rot(b, c)
+    t = [
+        V[0] * v0 + V[1] * v1 + V[2] * v2,
+        V[3] * v0 + V[4] * v1 + V[5] * v2,
+        V[6] * v0 + V[7] * v1 + V[8] * v2,
+    ]
+    return R, t
+
+
+def compose_rows(Ar, At, Br, Bt):
+    """Row-wise rigid compose: (A R, A t) * (B R, B t) on lists of (B,) /
+    (.., B) rows. Returns (9 rows, 3 rows) of A@B."""
+    Cr = []
+    for i in range(3):
+        for j in range(3):
+            Cr.append(
+                Ar[3 * i] * Br[j]
+                + Ar[3 * i + 1] * Br[3 + j]
+                + Ar[3 * i + 2] * Br[6 + j]
+            )
+    Ct = [
+        Ar[3 * i] * Bt[0] + Ar[3 * i + 1] * Bt[1] + Ar[3 * i + 2] * Bt[2]
+        + At[i]
+        for i in range(3)
+    ]
+    return Cr, Ct
+
+
+def add_front_se3_rows(pose12, delta_rows):
+    """exp(delta) * pose on a (12, B) pose plane; delta_rows (6, B)."""
+    dR, dt = se3_exp_rows(delta_rows)
+    R = [pose12[k] for k in range(9)]
+    t = [pose12[9 + k] for k in range(3)]
+    Cr, Ct = compose_rows(dR, dt, R, t)
+    return jnp.stack(Cr + Ct)
+
+
+def pose_rows_to_Rt(pose12, B):
+    """(12, B_pad) plane -> ((B, 3, 3), (B, 3)) for result assembly."""
+    flat = pose12[:, :B].T  # (B, 12)
+    return flat[:, :9].reshape(B, 3, 3), flat[:, 9:12]

@@ -879,7 +879,7 @@ def _masked_state(active, new, old):
 
 def _fused_batch_loop(
     stats_fn, solve_fn, update_fn, debug_fn, state0, inv_n, err_scale,
-    options: Options, B: int,
+    options: Options, B: int, mask_fn=None,
 ):
     """The shared lockstep GN loop of the fused batched solvers.
 
@@ -898,6 +898,8 @@ def _fused_batch_loop(
     thr_cost = opts.convergence_handle.threshold_cost_change
     hist = max_iter if getattr(opts, "record_history", True) else 1
     bidx = jnp.arange(B)
+    if mask_fn is None:
+        mask_fn = _masked_state
 
     def cond(c: _BatchCarry):
         return jnp.any(jnp.logical_not(c.done))
@@ -938,7 +940,7 @@ def _fused_batch_loop(
         )
 
         return _BatchCarry(
-            state=_masked_state(active, state_new, c.state),
+            state=mask_fn(active, state_new, c.state),
             err_prev=jnp.where(active, err_curr, c.err_prev),
             it_b=c.it_b + active.astype(jnp.int32),
             done=c.done | (active & (conv_now | at_last)),
@@ -974,6 +976,37 @@ def _fused_batch_result(carry: _BatchCarry, final_fn) -> tuple:
     pose_out = _to_T(R_out, t_out)
     debug_poses = _to_T(carry.debug_R, carry.debug_t)
     return pose_out, debug_poses
+
+
+def _plane_state_hooks(BK, B, b_pad, dtype=jnp.float32):
+    """update/debug/mask hooks for fused drivers whose state is a (12, B_pad)
+    pose plane (row-wise SE(3) math -- one elementwise fusion per update
+    instead of tile-padded batched 3x3 matmuls)."""
+
+    def update_fn(pose12, delta):  # delta (B, 6)
+        delta_rows = (
+            jnp.zeros((6, b_pad), dtype).at[:, :B].set(delta.T)
+        )  # zero rows freeze the padding lanes
+        return BK.add_front_se3_rows(pose12, delta_rows)
+
+    def debug_fn(pose12):
+        # Inverse pose in row form, then ONE transpose for the (B, 3, 3)
+        # debug/trace consumers.
+        R = [pose12[k] for k in range(9)]
+        t = [pose12[9 + k] for k in range(3)]
+        Rt_rows = [R[0], R[3], R[6], R[1], R[4], R[7], R[2], R[5], R[8]]
+        t_inv = [
+            -(R[i] * t[0] + R[3 + i] * t[1] + R[6 + i] * t[2])
+            for i in range(3)
+        ]
+        inv12 = jnp.stack(Rt_rows + t_inv)
+        return BK.pose_rows_to_Rt(inv12, B)
+
+    def mask_fn(active, new, old_):
+        m = jnp.zeros((b_pad,), bool).at[:B].set(active)
+        return jnp.where(m[None, :], new, old_)
+
+    return update_fn, debug_fn, mask_fn
 
 
 def _solve6(Atri, g):
@@ -1038,8 +1071,7 @@ def _solve_mono_6dof_batched_fused(
     rows = [intr[..., k] for k in range(4)] + [jnp.zeros(())] * 4
     intr8 = BK.intr_planes(rows, b_pad)
 
-    def stats_fn(state):
-        pose12 = BK.pose_planes(state[0], state[1], b_pad)
+    def stats_fn(pose12):
         st = BK.batched_mono_gn_stats(
             pose12, intr8, x_pl, y_pl, z_pl, pu_pl, pv_pl, v_pl,
             huber=huber, interpret=interp,
@@ -1047,18 +1079,14 @@ def _solve_mono_6dof_batched_fused(
         st = st[:, :B].T  # (B, 32)
         return st[:, :21], st[:, 21:27], st[:, 27]
 
-    def update_fn(state, delta):
-        return add_front_se3(state[0], state[1], delta)
-
-    def debug_fn(state):
-        return inverse_se3(state[0], state[1])
-
+    update_fn, debug_fn, mask_fn = _plane_state_hooks(BK, B, b_pad)
     carry = _fused_batch_loop(
-        stats_fn, _solve6, update_fn, debug_fn, (R0, t0), inv_n, 0.5,
-        opts, B,
+        stats_fn, _solve6, update_fn, debug_fn,
+        BK.pose_planes(R0, t0, b_pad), inv_n, 0.5, opts, B,
+        mask_fn=mask_fn,
     )
     pose_out, debug_poses = _fused_batch_result(carry, debug_fn)
-    R_fin, t_fin = carry.state
+    R_fin, t_fin = BK.pose_rows_to_Rt(carry.state, B)
 
     # Final-iteration outlier mask, recomputed from the final pose.
     X_c = (
@@ -1135,8 +1163,7 @@ def _solve_stereo_6dof_batched_fused(
         b_pad,
     )
 
-    def stats_fn(state):
-        pose12 = BK.pose_planes(state[0], state[1], b_pad)
+    def stats_fn(pose12):
         st = BK.batched_stereo_gn_stats(
             pose12, intr8, rig34, x_pl, y_pl, z_pl, pul, pvl, vl_pl,
             pur, pvr, vr_pl, huber=huber, interpret=interp,
@@ -1144,18 +1171,14 @@ def _solve_stereo_6dof_batched_fused(
         st = st[:, :B].T
         return st[:, :21], st[:, 21:27], st[:, 27]
 
-    def update_fn(state, delta):
-        return add_front_se3(state[0], state[1], delta)
-
-    def debug_fn(state):
-        return inverse_se3(state[0], state[1])
-
+    update_fn, debug_fn, mask_fn = _plane_state_hooks(BK, B, b_pad)
     carry = _fused_batch_loop(
-        stats_fn, _solve6, update_fn, debug_fn, (R0, t0), inv_n, 2.0,
-        opts, B,
+        stats_fn, _solve6, update_fn, debug_fn,
+        BK.pose_planes(R0, t0, b_pad), inv_n, 2.0, opts, B,
+        mask_fn=mask_fn,
     )
     pose_out, debug_poses = _fused_batch_result(carry, debug_fn)
-    R_fin, t_fin = carry.state
+    R_fin, t_fin = BK.pose_rows_to_Rt(carry.state, B)
 
     # Final-iteration masks from the final pose, both cameras.
     pts = points.astype(dtype)
