@@ -1259,12 +1259,7 @@ def _solve_planar_mono_batched_fused(
     rcb34 = jnp.concatenate([R_cb, t_cb[:, None]], axis=1)
 
     def stats_fn(theta):
-        R_p, t_p = planar_to_se3(theta)
-        R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
-        pose12 = BK.pose_planes(R_l, t_l, b_pad)
-        psi2 = BK.intr_planes(
-            [jnp.cos(theta[:, 2]), jnp.sin(theta[:, 2])], b_pad
-        )
+        pose12, psi2 = _planar_pose_rows(BK, theta, R_cb, t_cb, B, b_pad)
         st = BK.batched_planar_mono_gn_stats(
             pose12, intr8, psi2, rcb34, x_pl, y_pl, z_pl,
             pu_pl, pv_pl, v_pl, huber=huber, interpret=interp,
@@ -1371,12 +1366,7 @@ def _solve_planar_stereo_batched_fused(
     )
 
     def stats_fn(theta):
-        R_p, t_p = planar_to_se3(theta)
-        R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
-        pose12 = BK.pose_planes(R_l, t_l, b_pad)
-        psi2 = BK.intr_planes(
-            [jnp.cos(theta[:, 2]), jnp.sin(theta[:, 2])], b_pad
-        )
+        pose12, psi2 = _planar_pose_rows(BK, theta, R_cb, t_cb, B, b_pad)
         st = BK.batched_planar_stereo_gn_stats(
             pose12, intr8, psi2, rcb34, rcbr34, rig34,
             x_pl, y_pl, z_pl, pul, pvl, vl_pl, pur, pvr, vr_pl,
@@ -1434,6 +1424,26 @@ def _solve_planar_stereo_batched_fused(
         debug_poses=debug_poses,
         num_debug=carry.it_b,
     )
+
+
+def _planar_pose_rows(BK, theta, R_cb, t_cb, B, b_pad):
+    """(B, 3) planar params -> ((12, B_pad) camera<-base1 pose plane,
+    (2, B_pad) cos/sin rows) via row-wise compose (no batched 3x3 matmuls:
+    the tile-padded einsums dominated the planar drivers' glue)."""
+    x, y, psi = theta[:, 0], theta[:, 1], theta[:, 2]
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    zero = jnp.zeros_like(c)
+    Rp = [c, -s, zero, s, c, zero, zero, zero, jnp.ones_like(c)]
+    tp = [x, y, zero]
+    A_r = [R_cb[i, j] for i in range(3) for j in range(3)]
+    A_t = [t_cb[i] for i in range(3)]
+    Cr, Ct = BK.compose_rows(A_r, A_t, Rp, tp)
+    pose12 = jnp.zeros((12, b_pad), jnp.float32).at[:, :B].set(
+        jnp.stack(Cr + Ct)
+    )
+    psi2 = jnp.zeros((2, b_pad), jnp.float32)
+    psi2 = psi2.at[0, :B].set(c).at[1, :B].set(s)
+    return pose12, psi2
 
 
 def _planar_update_batched(theta, delta):
