@@ -529,3 +529,54 @@ class TestBigTableMode:
         np.testing.assert_allclose(
             np.asarray(s_big.points), np.asarray(s_res.points), atol=1e-6
         )
+
+
+class TestCouplingDtype:
+    """Options.coupling_dtype='bfloat16' halves the matvec's U traffic at a
+    documented small accuracy cost; the solve must still converge near the
+    f32 result."""
+
+    def test_bf16_coupling_converges(self):
+        import numpy as np
+
+        from bundle_adjustment_solver_tpu.models.problem import (
+            finalized_from_arrays,
+        )
+        from bundle_adjustment_solver_tpu.options import (
+            ConvergenceHandle,
+            IterationHandle,
+            Options,
+            SolverType,
+        )
+        from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            corridor_ba_problem,
+        )
+
+        prob = corridor_ba_problem(
+            num_poses=16, num_points=500, window=4, seed=3
+        )
+        fixed = np.zeros(16, bool)
+        fixed[prob.fixed_pose_ids] = True
+        problem, shape, host = finalized_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, return_host=True,
+        )
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(15),
+            reduced_system="cg", cg_max_iterations=25, cg_tolerance=1e-10,
+        )
+        s32, _ = full_ba_pm.solve_pm(problem, shape, opts, host=host)
+        s16, _ = full_ba_pm.solve_pm(
+            problem, shape, opts.replace(coupling_dtype="bfloat16"),
+            host=host,
+        )
+        r32 = float(s32.final_rmse_px)
+        r16 = float(s16.final_rmse_px)
+        # bf16 coupling costs a small convergence-floor factor (documented
+        # in Options); both must reach sub-0.05 px on this problem.
+        assert r32 < 0.05 and r16 < 0.05, (r32, r16)
+        assert r16 < max(4.0 * r32, 0.02), (r32, r16)
