@@ -103,13 +103,14 @@ class Options:
     # profitable, XLA elsewhere) | 'never' | 'always' | 'interpret' (CPU
     # debugging).
     pallas: str = "auto"
-    # Reporting mode: dispatch the full-BA LM loop one iteration at a time
-    # so the host can wall-clock each iteration (the reference's per-
-    # iteration `iter_time`, full cpp:981-992, printed by BriefReport).
-    # Costs one dispatch+fetch round trip per iteration -- for production
-    # solves leave False (the loop then runs entirely on device and
-    # iter_time prints -1 like round 1). Not supported by the point-major
-    # engine; forces the observation-table path.
+    # Reporting mode: dispatch the LM/GN loop one iteration at a time so
+    # the host can wall-clock each iteration (the reference's per-iteration
+    # `iter_time`, full cpp:981-992 / pose_only cpp:126, printed by
+    # BriefReport). Supported by the observation-table engine, the
+    # point-major Pallas engine, and all four pose-only solvers. Costs one
+    # dispatch+fetch round trip per iteration -- for production solves
+    # leave False (the loop then runs entirely on device and iter_time
+    # prints -1 like the reference with a null summary).
     time_iterations: bool = False
     # Record per-iteration info rows and the debug-pose trace (pose-only
     # solvers). False mirrors the reference's `summary == nullptr` mode

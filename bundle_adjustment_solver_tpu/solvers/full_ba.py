@@ -474,8 +474,6 @@ def solve(
     finalize()) lets the point-major layout build avoid device readback."""
     mode = _resolve_mode(shape, options)
     timed = getattr(options, "time_iterations", False)
-    if mode == "pm" and timed:
-        mode = "cg"  # chunked timing not supported by the PM engine
     if mode == "pm":
         from . import full_ba_pm  # local import to avoid cycle
 

@@ -202,21 +202,17 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     return x, t
 
 
-@functools.partial(
-    jax.jit, static_argnames=("shape", "options", "interpret")
-)
-def _solve_pm_jax(
+def _pm_loop_pieces(
     pm: PointMajorProblem,
     shape: PMShape,
     rig,
-    R_cw0,
-    t_cw0,
     opt_pose_idx,
     options: Options,
-    interpret: bool = False,
-) -> tuple:
-    """Returns (R_cw, t_cw, X(4, Mp), converged, iters, info, num_info,
-    final_cost, final_rmse_px)."""
+    interpret: bool,
+):
+    """(cond, body, eval_cost) of the point-major LM loop -- shared by the
+    all-device while_loop and the chunked-dispatch `Options.time_iterations`
+    driver (which jits `body` alone per step, cf. solvers/full_ba.py)."""
     opts = options
     max_iter = opts.iteration_handle.max_num_iterations
     huber = opts.outlier_handle.threshold_huber_loss * shape.scale
@@ -363,27 +359,63 @@ def _solve_pm_jax(
     def cond(c: _Carry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
 
-    initial_cost = eval_cost(R_cw0, t_cw0, pm.X)
-    carry0 = _Carry(
+    return cond, body, eval_cost
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "options", "interpret")
+)
+def _pm_init_carry_jax(
+    pm, shape: PMShape, rig, R_cw0, t_cw0, opt_pose_idx,
+    options: Options, interpret: bool = False,
+) -> _Carry:
+    _, _, eval_cost = _pm_loop_pieces(
+        pm, shape, rig, opt_pose_idx, options, interpret
+    )
+    max_iter = options.iteration_handle.max_num_iterations
+    return _Carry(
         R_cw=R_cw0,
         t_cw=t_cw0,
         X=pm.X,
-        lam=jnp.asarray(tr.initial_lambda, dtype),
-        prev_cost=initial_cost,
+        lam=jnp.asarray(options.trust_region_handle.initial_lambda,
+                        jnp.float32),
+        prev_cost=eval_cost(R_cw0, t_cw0, pm.X),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
-        info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
+        info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=jnp.float32),
         num_info=jnp.asarray(0, jnp.int32),
     )
-    carry = jax.lax.while_loop(cond, body, carry0)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "options", "interpret")
+)
+def _pm_step_jax(
+    pm, shape: PMShape, rig, opt_pose_idx, carry: _Carry,
+    options: Options, interpret: bool = False,
+) -> _Carry:
+    """ONE LM iteration of the point-major loop, for chunked timing."""
+    _, body, _ = _pm_loop_pieces(
+        pm, shape, rig, opt_pose_idx, options, interpret
+    )
+    return body(carry)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "options", "interpret")
+)
+def _pm_finalize_jax(
+    pm, shape: PMShape, rig, carry: _Carry,
+    options: Options, interpret: bool = False,
+) -> tuple:
+    huber = options.outlier_handle.threshold_huber_loss * shape.scale
+    inv_scale = 1.0 / shape.scale
     _, _, s_sq, s_cnt = K.cost_pm(
         pm, shape, carry.R_cw, carry.t_cw, carry.X, rig, huber,
         interpret=interpret,
     )
     rmse_px = jnp.sqrt(s_sq / jnp.maximum(s_cnt, 1.0)) * inv_scale
-
     return (
         carry.R_cw,
         carry.t_cw,
@@ -395,6 +427,33 @@ def _solve_pm_jax(
         carry.prev_cost,
         rmse_px,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "options", "interpret")
+)
+def _solve_pm_jax(
+    pm: PointMajorProblem,
+    shape: PMShape,
+    rig,
+    R_cw0,
+    t_cw0,
+    opt_pose_idx,
+    options: Options,
+    interpret: bool = False,
+) -> tuple:
+    """Returns (R_cw, t_cw, X(4, Mp), converged, iters, info, num_info,
+    final_cost, final_rmse_px)."""
+    cond, body, _ = _pm_loop_pieces(
+        pm, shape, rig, opt_pose_idx, options, interpret
+    )
+    carry0 = _pm_init_carry_jax(
+        pm, shape, rig, R_cw0, t_cw0, opt_pose_idx, options,
+        interpret=interpret,
+    )
+    carry = jax.lax.while_loop(cond, body, carry0)
+    return _pm_finalize_jax(pm, shape, rig, carry, options,
+                            interpret=interpret)
 
 
 def solve_pm(
@@ -421,11 +480,37 @@ def solve_pm(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    iter_times_ms = None
     t0 = time.perf_counter()
-    out = _solve_pm_jax(
-        pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
-        problem.opt_pose_idx, options, interpret=interpret,
-    )
+    if getattr(options, "time_iterations", False):
+        # Chunked-dispatch reporting mode (reference iter_time parity,
+        # full cpp:981-992), one jit step per LM iteration.
+        max_iter = options.iteration_handle.max_num_iterations
+        carry = _pm_init_carry_jax(
+            pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+            problem.opt_pose_idx, options, interpret=interpret,
+        )
+        float(np.asarray(carry.prev_cost))  # sync (tunnel-safe fetch)
+        iter_times_ms = []
+        for _ in range(max_iter):
+            t_it = time.perf_counter()
+            carry = _pm_step_jax(
+                pm, pshape, problem.rig, problem.opt_pose_idx, carry,
+                options, interpret=interpret,
+            )
+            done = bool(np.asarray(carry.done))  # fetch doubles as sync
+            iter_times_ms.append((time.perf_counter() - t_it) * 1e3)
+            if done:
+                break
+        out = _pm_finalize_jax(
+            pm, pshape, problem.rig, carry, options, interpret=interpret
+        )
+        iter_times_ms = np.asarray(iter_times_ms)
+    else:
+        out = _solve_pm_jax(
+            pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+            problem.opt_pose_idx, options, interpret=interpret,
+        )
     (R_cw, t_cw, Xpm, converged, iters, info, num_info, final_cost,
      rmse_px) = jax.block_until_ready(out)
     total_ms = (time.perf_counter() - t0) * 1e3
@@ -465,6 +550,7 @@ def solve_pm(
         threshold_step_size=options.convergence_handle.threshold_step_size,
         threshold_cost_change=options.convergence_handle.threshold_cost_change,
         total_time_ms=total_ms,
+        iter_times_ms=iter_times_ms,
         final_rmse_px=float(rmse_px),
     )
     return state, summary

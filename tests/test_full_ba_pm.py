@@ -580,3 +580,59 @@ class TestCouplingDtype:
         # in Options); both must reach sub-0.05 px on this problem.
         assert r32 < 0.05 and r16 < 0.05, (r32, r16)
         assert r16 < max(4.0 * r32, 0.02), (r32, r16)
+
+
+class TestPMTimedIterations:
+    """Options.time_iterations on the point-major engine: chunked dispatch
+    with identical results and real per-iteration times."""
+
+    def test_pm_chunked_matches_monolithic(self):
+        import numpy as np
+
+        from bundle_adjustment_solver_tpu.models.problem import (
+            finalized_from_arrays,
+        )
+        from bundle_adjustment_solver_tpu.options import (
+            ConvergenceHandle,
+            IterationHandle,
+            Options,
+            SolverType,
+        )
+        from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            corridor_ba_problem,
+        )
+
+        prob = corridor_ba_problem(
+            num_poses=14, num_points=420, window=4, seed=9
+        )
+        fixed = np.zeros(14, bool)
+        fixed[prob.fixed_pose_ids] = True
+        problem, shape, host = finalized_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, return_host=True,
+        )
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(1e-8, 1e-8),
+            iteration_handle=IterationHandle(12),
+            reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-10,
+        )
+        s_plain, sum_plain = full_ba_pm.solve_pm(
+            problem, shape, opts, host=host
+        )
+        s_timed, sum_timed = full_ba_pm.solve_pm(
+            problem, shape, opts.replace(time_iterations=True), host=host
+        )
+        np.testing.assert_allclose(
+            float(s_timed.final_cost), float(s_plain.final_cost), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_timed.poses_world_to_camera),
+            np.asarray(s_plain.poses_world_to_camera),
+            atol=1e-6,
+        )
+        infos = sum_timed.optimization_info_list
+        assert len(infos) == len(sum_plain.optimization_info_list)
+        assert all(oi.iter_time > 0.0 for oi in infos)
