@@ -615,7 +615,7 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
             else []
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if big else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if big else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl (C, 16)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 2)
             pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
@@ -702,7 +702,7 @@ def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
             else []
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if big else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if big else pltpu.VMEM),
             pl.BlockSpec((18, Kp, bm), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),  # U
             pl.BlockSpec((16, bm), lambda i, *_: (0, i),
@@ -793,7 +793,7 @@ def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
             else []
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if big else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if big else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
             pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
