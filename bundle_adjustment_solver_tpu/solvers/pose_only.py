@@ -157,44 +157,16 @@ def _normal_equations(J, r, w, dim):
 def _damped_solve(JtWJ, g, dim):
     """(1 + lambda) diagonal damping + solve, reference cpp:102-105.
 
-    Solved CLOSED-FORM via the flat symmetric algebra (ops/sym6: blockwise-
-    Schur 6x6, adjugate 3x3) instead of `jnp.linalg.solve`: the LU custom-
-    call dominated the batched solvers' device time (92 of 167 ms per 30
-    vmapped iterations at 2048 frames -- profiled on v5e), while the
-    closed-form path is pure elementwise VPU math that vmaps for free.
-    Damped GN blocks are SPD, so both forms are well-posed.
+    Single-frame path: `jnp.linalg.solve` (one small LU call, ~40 us faster
+    per GN iteration than the flat closed-form on v5e -- the ~100-op scalar
+    Schur chain is latency-bound at batch size 1). The fused BATCHED
+    drivers use the flat sym6/adjugate forms instead (`_solve6`/`_solve3`),
+    where the elementwise math vectorizes over frames and the vmapped LU
+    custom-call was the bottleneck (92 of 167 ms per 30 iterations at 2048
+    frames -- both directions measured).
     """
-    if dim == 6:
-        from ..ops import sym6
-
-        triu_r = jnp.asarray([a for a, b in sym6._TRI6])
-        triu_c = jnp.asarray([b for a, b in sym6._TRI6])
-        Atri = JtWJ[triu_r, triu_c][None, :]  # (1, 21) flat upper triangle
-        Cinv = sym6.inverse_tri6(sym6.tri6_damp(Atri, _FIXED_LAMBDA))
-        return sym6.tri6_matvec(Cinv, -g[None, :])[0]
-    # 3x3 (planar): adjugate inverse of the damped symmetric matrix.
     H = JtWJ + jnp.diag(jnp.diag(JtWJ)) * _FIXED_LAMBDA
-    a, b, c = H[0, 0], H[0, 1], H[0, 2]
-    d, e, f = H[1, 1], H[1, 2], H[2, 2]
-    co00 = d * f - e * e
-    co01 = c * e - b * f
-    co02 = b * e - c * d
-    co11 = a * f - c * c
-    co12 = b * c - a * e
-    co22 = a * d - b * b
-    det = a * co00 + b * co01 + c * co02
-    inv_det = 1.0 / det
-    Hinv = (
-        jnp.stack(
-            [
-                jnp.stack([co00, co01, co02]),
-                jnp.stack([co01, co11, co12]),
-                jnp.stack([co02, co12, co22]),
-            ]
-        )
-        * inv_det
-    )
-    return Hinv @ (-g)
+    return jnp.linalg.solve(H, -g)
 
 
 def _record_iteration(
