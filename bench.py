@@ -310,8 +310,10 @@ def bench_pose_only_batched_stereo() -> dict:
         return _fetch(res.pose[0, 0, 0])
 
     # Stereo counts left + matched right residuals.
+    # 200/1000 iterations: at ~6k lockstep iters/s the count delta must
+    # dwarf the ~40-85 ms dispatch jitter (cf. the mono bench note).
     n_obs = int(B * P + (np.asarray(prob.pixels_right)[..., 0] >= 0).sum())
-    iters_per_s = _pose_only_rate(run, 20, 60)
+    iters_per_s = _pose_only_rate(run, 200, 1000)
     value = n_obs * iters_per_s
     return {
         "metric": (
