@@ -65,9 +65,12 @@ WINDOW = int(os.environ.get("BENCH_WINDOW", 6))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 50))
 IMPL = os.environ.get("BENCH_IMPL", "pm")  # 'pm' (pallas) | 'cg' (obs table)
 ONLY = os.environ.get("BENCH_ONLY", "all")  # 'all' | 'full' | 'pose'
-# PERF.md: the 10k/1M flagship converges to 0.004 px; generous slack for
-# noise-seed / iteration-count variation.
+# PERF.md: the 10k/1M flagship converges to 0.004-0.005 px; generous slack
+# for noise-seed / iteration-count variation.
 RMSE_LIMIT = float(os.environ.get("BENCH_RMSE_LIMIT", 0.02))
+# Time-to-target threshold for the convergence-honest metric (VERDICT r2
+# task 2): seconds for a fresh flagship solve to reach this RMSE.
+TARGET_RMSE = float(os.environ.get("BENCH_TARGET_RMSE", 0.01))
 
 
 def _fetch(x) -> float:
@@ -77,9 +80,12 @@ def _fetch(x) -> float:
 
 
 def full_ba_options(max_iter):
-    # Thresholds at 0 force exactly max_iter LM iterations and exactly 25 CG
-    # iterations per LM iteration (no early exit): a deterministic workload,
-    # comparable across runs regardless of convergence state.
+    # Thresholds at 0 force exactly max_iter LM iterations (no early exit):
+    # a deterministic workload, comparable across runs regardless of
+    # convergence state. The inner CG terminates adaptively (Eisenstat-
+    # Walker forcing, capped at 25 -- the round-3 3.6x lever, see PERF.md);
+    # BENCH_CG=fixed restores the round-2 fixed-25-iteration CG.
+    cg_forcing = os.environ.get("BENCH_CG", "ew")
     return Options(
         solver_type=SolverType.LEVENBERG_MARQUARDT,
         convergence_handle=ConvergenceHandle(0.0, 0.0),
@@ -87,10 +93,11 @@ def full_ba_options(max_iter):
         reduced_system="cg",
         cg_max_iterations=25,
         cg_tolerance=0.0,
+        cg_forcing=cg_forcing if cg_forcing in ("ew", "fixed") else "ew",
     )
 
 
-def bench_full_ba() -> dict:
+def _build_flagship():
     dev = jax.devices()[0]
     prob = corridor_ba_problem(
         num_poses=NUM_POSES, num_points=NUM_POINTS, window=WINDOW, seed=123
@@ -108,8 +115,6 @@ def bench_full_ba() -> dict:
         fixed_pose_mask=fixed_pose,
         return_host=True,
     )
-    n_obs = shape.num_observations
-
     # Move the problem to device once (production solvers keep state
     # resident; the tunnel makes per-call H2D expensive).
     problem = jax.device_put(problem, dev)
@@ -125,43 +130,95 @@ def bench_full_ba() -> dict:
                 pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
                 problem.opt_pose_idx, full_ba_options(n), interpret=False,
             )
-            return out, _fetch(out[7])
-
-        run(TIMED_ITERS)  # compile + warm-up
-        t0 = time.perf_counter()
-        out, _ = run(TIMED_ITERS)
-        elapsed = time.perf_counter() - t0
-        rmse = _fetch(out[8])
+            _fetch(out[7])
+            # (info, final_rmse_px)
+            return np.asarray(out[5]), _fetch(out[8])
     else:
 
         def run(n):
             state = full_ba._solve_jax(problem, shape, full_ba_options(n), "cg")
-            return state, _fetch(state.final_cost)
+            _fetch(state.final_cost)
+            return np.asarray(state.info), _fetch(state.final_rmse_px)
 
-        run(TIMED_ITERS)
-        t0 = time.perf_counter()
-        state, _ = run(TIMED_ITERS)
-        elapsed = time.perf_counter() - t0
-        rmse = _fetch(state.final_rmse_px)
+    return run, shape
+
+
+def bench_full_ba() -> tuple[dict, dict]:
+    """Flagship metrics: (throughput, time-to-target).
+
+    Throughput: obs x LM-iterations/s over TIMED_ITERS forced LM iterations
+    (final RMSE asserted). Because the adaptive CG makes per-LM-iteration
+    work variable, the companion time-to-target metric reports the honest
+    end-to-end quantity: seconds for a fresh solve to reach RMSE <=
+    TARGET_RMSE px (the reference's only end-to-end speed quantity is total
+    solve time, core/solver_option_and_summary.cpp:63-64).
+    """
+    from bundle_adjustment_solver_tpu.summary import INFO_CG_ITERS
+
+    run, shape = _build_flagship()
+    n_obs = shape.num_observations
+
+    run(TIMED_ITERS)  # compile + warm-up
+    t0 = time.perf_counter()
+    info, rmse = run(TIMED_ITERS)
+    elapsed = time.perf_counter() - t0
 
     assert rmse <= RMSE_LIMIT, (
         f"flagship final RMSE {rmse:.4f} px exceeds {RMSE_LIMIT} px "
-        "(PERF.md convergence: 0.004 px at 10k/1M)"
+        "(PERF.md convergence: 0.004-0.005 px at 10k/1M)"
     )
 
     iters_per_s = TIMED_ITERS / elapsed
     obs_iters_per_s = n_obs * iters_per_s
-    return {
+    cg_total = int(info[:TIMED_ITERS, INFO_CG_ITERS].sum())
+    throughput = {
         "metric": (
             "full_BA_observations_x_LM-iterations_per_second_per_chip "
             f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {n_obs} obs, "
-            f"{IMPL} schur-CG LM, final_rmse_px={rmse:.4f}, "
+            f"{IMPL} schur-CG LM, adaptive EW forcing, "
+            f"cg_iters_total={cg_total}/{TIMED_ITERS} LM iters, "
+            f"final_rmse_px={rmse:.4f}, "
             f"lm_iters_per_s={iters_per_s:.3f})"
         ),
         "value": round(obs_iters_per_s, 1),
         "unit": "obs*iter/s",
         "vs_baseline": round(obs_iters_per_s / 1e6, 3),
     }
+
+    # Time-to-target: smallest forced-iteration count whose fresh solve
+    # lands at RMSE <= TARGET_RMSE, wall-clocked end-to-end (one dispatch).
+    target = TARGET_RMSE
+    n_try = max(4, TIMED_ITERS // 8)
+    best = None
+    for _ in range(6):
+        run(n_try)  # compile + warm for this iteration count
+        t0 = time.perf_counter()
+        _, rmse_n = run(n_try)
+        dt = time.perf_counter() - t0
+        if rmse_n <= target:
+            best = (n_try, dt, rmse_n)
+            break
+        n_try = min(TIMED_ITERS, int(np.ceil(n_try * 1.5)))
+    assert best is not None, (
+        f"flagship did not reach RMSE <= {target} px within "
+        f"{TIMED_ITERS} LM iterations"
+    )
+    n_star, secs, rmse_n = best
+    # Reference-throughput estimate (see module docstring): the same n* LM
+    # iterations over n_obs observations at ~1e6 obs-iter/s.
+    ref_secs = n_star * n_obs / 1e6
+    time_to_target = {
+        "metric": (
+            f"full_BA_seconds_to_rmse_{target}px "
+            f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {n_obs} obs, "
+            f"{IMPL} engine, {n_star} LM iterations, "
+            f"achieved_rmse_px={rmse_n:.4f})"
+        ),
+        "value": round(secs, 3),
+        "unit": "s",
+        "vs_baseline": round(ref_secs / secs, 3),
+    }
+    return throughput, time_to_target
 
 
 def _pose_only_rate(run, n_lo, n_hi, reps=3) -> float:
@@ -327,16 +384,235 @@ def bench_pose_only_batched_stereo() -> dict:
     }
 
 
+def bench_pose_only_planar_mono_single() -> dict:
+    """The reference's legacy planar workload: single-frame mono 3-DoF at
+    100k points, Huber 1.5 px (test_3dof_mono_poseonly_ba.cpp:109,132-136),
+    on the fused planar kernel (Options.pallas='auto')."""
+    import jax.numpy as jnp
+
+    from bundle_adjustment_solver_tpu.solvers import pose_only
+    from bundle_adjustment_solver_tpu.utils.synthetic import (
+        batched_planar_pose_only_problem,
+    )
+
+    prob = batched_planar_pose_only_problem(
+        num_frames=1, points_per_frame=100_000, seed=3
+    )
+    pts = jax.device_put(jnp.asarray(prob.points[0], jnp.float32))
+    pix = jax.device_put(jnp.asarray(prob.pixels_left[0], jnp.float32))
+    valid = jnp.ones(pts.shape[0], bool)
+    intr = jnp.asarray(prob.intrinsics, jnp.float32)
+    T_bc = jnp.asarray(prob.base_to_camera, jnp.float32)
+    T_wl = jnp.asarray(prob.poses_world_to_last[0], jnp.float32)
+    T_wc0 = jnp.asarray(prob.poses_world_to_current_init[0], jnp.float32)
+
+    def make_opts(n):
+        return Options(
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            outlier_handle=OutlierHandle(1.5, 3.0),  # reference cpp:132-136
+            iteration_handle=IterationHandle(n),
+        )
+
+    def run(n):
+        res = pose_only.solve_monocular_planar3dof_jax(
+            pts, pix, valid, intr, T_bc, T_wl, T_wc0, make_opts(n)
+        )
+        return _fetch(res.pose[0, 0])
+
+    n_obs = int(pts.shape[0])
+    iters_per_s = _pose_only_rate(run, 1000, 3000)
+    value = n_obs * iters_per_s
+    return {
+        "metric": (
+            "pose_only_planar3dof_mono_observations_x_GN-iterations_per_second_per_chip "
+            f"(1 frame x 100k pts, huber 1.5px, fused planar kernel, "
+            f"gn_iters_per_s={iters_per_s:.1f})"
+        ),
+        "value": round(value, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+
+
+def _batched_opts(n):
+    return Options(
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        outlier_handle=OutlierHandle(1.0, 2.5),
+        iteration_handle=IterationHandle(n),
+        record_history=False,
+    )
+
+
+def bench_pose_only_batched_mono() -> dict:
+    """Batched mono 6-DoF (frames-along-lanes fused lockstep GN)."""
+    import jax.numpy as jnp
+
+    from bundle_adjustment_solver_tpu.solvers import pose_only
+    from bundle_adjustment_solver_tpu.utils.synthetic import (
+        batched_stereo_pose_only_problem,
+    )
+
+    B = int(os.environ.get("BENCH_FRAMES", 2048))
+    P = int(os.environ.get("BENCH_FRAME_POINTS", 256))
+    prob = batched_stereo_pose_only_problem(
+        num_frames=B, points_per_frame=P, seed=13
+    )
+    pts = jax.device_put(jnp.asarray(prob.points, jnp.float32))
+    pixl = jax.device_put(jnp.asarray(prob.pixels_left, jnp.float32))
+    valid = jnp.ones((B, P), bool)
+    intr = jnp.asarray(prob.intrinsics, jnp.float32)
+    poses0 = jnp.asarray(prob.poses_initial, jnp.float32)
+
+    def run(n):
+        res = pose_only.solve_monocular_6dof_batched(
+            pts, pixl, valid, intr, poses0, _batched_opts(n)
+        )
+        return _fetch(res.pose[0, 0, 0])
+
+    n_obs = B * P
+    iters_per_s = _pose_only_rate(run, 200, 1000)
+    value = n_obs * iters_per_s
+    return {
+        "metric": (
+            "pose_only_batched_mono6dof_observations_x_GN-iterations_per_second_per_chip "
+            f"({B} frames x {P} pts, fused lockstep GN, "
+            f"gn_iters_per_s={iters_per_s:.1f})"
+        ),
+        "value": round(value, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+
+
+def bench_pose_only_batched_planar(stereo: bool) -> dict:
+    """Batched planar 3-DoF, mono or stereo (fused frames-along-lanes)."""
+    import jax.numpy as jnp
+
+    from bundle_adjustment_solver_tpu.solvers import pose_only
+    from bundle_adjustment_solver_tpu.utils.synthetic import (
+        batched_planar_pose_only_problem,
+    )
+
+    B = int(os.environ.get("BENCH_FRAMES", 2048))
+    P = int(os.environ.get("BENCH_FRAME_POINTS", 256))
+    prob = batched_planar_pose_only_problem(
+        num_frames=B, points_per_frame=P, seed=17, stereo=stereo
+    )
+    pts = jax.device_put(jnp.asarray(prob.points, jnp.float32))
+    pixl = jax.device_put(jnp.asarray(prob.pixels_left, jnp.float32))
+    valid = jnp.ones((B, P), bool)
+    intr = jnp.asarray(prob.intrinsics, jnp.float32)
+    T_bc = jnp.asarray(prob.base_to_camera, jnp.float32)
+    T_wl = jnp.asarray(prob.poses_world_to_last, jnp.float32)
+    T_wc0 = jnp.asarray(prob.poses_world_to_current_init, jnp.float32)
+
+    if stereo:
+        pixr = jax.device_put(jnp.asarray(prob.pixels_right, jnp.float32))
+        T_lr = jnp.asarray(prob.pose_left_to_right, jnp.float32)
+
+        def run(n):
+            res = pose_only.solve_stereo_planar3dof_batched(
+                pts, pixl, pixr, valid, intr, intr, T_bc, T_lr, T_wl, T_wc0,
+                _batched_opts(n),
+            )
+            return _fetch(res.pose[0, 0, 0])
+
+        n_obs = int(B * P + (np.asarray(prob.pixels_right)[..., 0] >= 0).sum())
+        label = "stereo"
+    else:
+
+        def run(n):
+            res = pose_only.solve_monocular_planar3dof_batched(
+                pts, pixl, valid, intr, T_bc, T_wl, T_wc0, _batched_opts(n)
+            )
+            return _fetch(res.pose[0, 0, 0])
+
+        n_obs = B * P
+        label = "mono"
+
+    iters_per_s = _pose_only_rate(run, 200, 1000)
+    value = n_obs * iters_per_s
+    return {
+        "metric": (
+            f"pose_only_batched_planar3dof_{label}_observations_x_"
+            "GN-iterations_per_second_per_chip "
+            f"({B} frames x {P} pts, {n_obs} obs, fused lockstep GN, "
+            f"gn_iters_per_s={iters_per_s:.1f})"
+        ),
+        "value": round(value, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+
+
+def bench_full_ba_large() -> dict:
+    """Large-N capability run: 50k poses / 5M landmarks / 60M observations
+    (the big-table HBM DMA mode of the point-major engine), captured as an
+    artifact instead of PERF.md prose. Wall time of one 40-LM-iteration
+    solve; skip with BENCH_SKIP_LARGE=1."""
+    from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+
+    n_poses, n_points = 50_000, 5_000_000
+    prob = corridor_ba_problem(
+        num_poses=n_poses, num_points=n_points, window=WINDOW, seed=123
+    )
+    fixed_pose = np.zeros(n_poses, dtype=bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    problem, shape, host = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed_pose, return_host=True,
+    )
+    n_obs = shape.num_observations
+    dev = jax.devices()[0]
+    problem = jax.device_put(problem, dev)
+    pm, pshape = full_ba_pm.pm_from_finalized(problem, shape, host=host)
+    pm = jax.device_put(pm, dev)
+    lm_iters = 40
+
+    def run():
+        out = full_ba_pm._solve_pm_jax(
+            pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+            problem.opt_pose_idx, full_ba_options(lm_iters), interpret=False,
+        )
+        _fetch(out[7])
+        return _fetch(out[8])
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    rmse = run()
+    elapsed = time.perf_counter() - t0
+    obs_iters_per_s = n_obs * lm_iters / elapsed
+    return {
+        "metric": (
+            "full_BA_large_observations_x_LM-iterations_per_second_per_chip "
+            f"({n_poses} poses, {n_points} landmarks, {n_obs} obs, pm "
+            f"big-table HBM mode, {lm_iters} LM iters in {elapsed:.1f}s, "
+            f"final_rmse_px={rmse:.4f})"
+        ),
+        "value": round(obs_iters_per_s, 1),
+        "unit": "obs*iter/s",
+        "vs_baseline": round(obs_iters_per_s / 1e6, 3),
+    }
+
+
 def main():
     details = []
     flagship = None
     if ONLY in ("all", "full"):
-        flagship = bench_full_ba()
+        flagship, time_to_target = bench_full_ba()
         details.append(flagship)
+        details.append(time_to_target)
+        if IMPL == "pm" and os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
+            details.append(bench_full_ba_large())
     if ONLY in ("all", "pose"):
         details.append(bench_pose_only_mono())
         details.append(bench_pose_only_stereo_single())
+        details.append(bench_pose_only_planar_mono_single())
         details.append(bench_pose_only_batched_stereo())
+        details.append(bench_pose_only_batched_mono())
+        details.append(bench_pose_only_batched_planar(stereo=False))
+        details.append(bench_pose_only_batched_planar(stereo=True))
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAILS.json"),

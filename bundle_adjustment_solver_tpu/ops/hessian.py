@@ -279,24 +279,57 @@ def back_substitute_matfree(
     )
 
 
+def schur_diag_correction(
+    sys: BlockSystem,
+    pose_opt: jax.Array,
+    point_opt: jax.Array,
+    n_opt_poses: int,
+    n_opt_points: int,
+) -> jax.Array:
+    """Per-pose (N_opt, 6, 6) correction sum_o U_o Cinv_{i(o)} U_o^T of the
+    Schur-Jacobi preconditioner (one observation-indexed pass).
+
+    Per-OBSERVATION approximation of the exact Schur diagonal
+    sum_i B_ji Cinv_i B_ji^T: exact when every (pose, point) pair has one
+    observation (mono); for multi-camera rigs it drops the cross-camera
+    terms U_o1 Cinv U_o2^T, which keeps it cheap and -- by the per-residual
+    Schur-complement bound w Q_o^T Q_o >= U_o (w R_o^T R_o)^-1 U_o^T >=
+    U_o Cinv_i U_o^T -- guarantees A_damped - correction stays positive
+    definite, the only property a preconditioner needs. (The point-major
+    engine computes the pair-exact version in-kernel,
+    ops/pallas/full_ba_pm.py.)
+    """
+    Cinv_g = _gather_padded(sys.Cinv, point_opt, n_opt_points)  # (O, 3, 3)
+    UC = jnp.einsum("oab,obc->oac", sys.U, Cinv_g, precision=_HIGHEST)
+    UCUt = jnp.einsum("oac,obc->oab", UC, sys.U, precision=_HIGHEST)
+    return jax.ops.segment_sum(
+        UCUt, pose_opt, num_segments=n_opt_poses + 1
+    )[:n_opt_poses]
+
+
 def block_pcg(
     matvec,
     rhs: jax.Array,  # (N_opt, 6)
-    precond_inv: jax.Array,  # (N_opt, 6, 6) block-Jacobi preconditioner
+    precond_inv: jax.Array,  # (N_opt, 6, 6) block preconditioner inverse
     max_iterations: int,
-    tolerance: float,
+    tolerance,
+    x0: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Block-Jacobi preconditioned conjugate gradients on the reduced system.
+    """Block-preconditioned conjugate gradients on the reduced system.
 
     Replaces the reference's dense `S.ldlt()` (cpp:905) beyond ~1k poses.
-    Returns (x, final |r|^2, iterations used).
+    `tolerance` may be traced (Eisenstat-Walker forcing); `x0` warm-starts
+    (one extra matvec). Returns (x, final |r|^2, iterations used).
     """
 
     def apply_precond(r):
         return jnp.einsum("jab,jb->ja", precond_inv, r, precision=_HIGHEST)
 
-    x0 = jnp.zeros_like(rhs)
-    r0 = rhs
+    if x0 is None:
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs
+    else:
+        r0 = rhs - matvec(x0)
     z0 = apply_precond(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0)

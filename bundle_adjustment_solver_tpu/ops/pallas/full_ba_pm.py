@@ -36,7 +36,10 @@ Symmetric 3x3 component order: [xx, xy, xz, yy, yz, zz] (diag at 0, 3, 5).
 U (pose 6 x point 3) component order: row-major e = a * 3 + c.
 Cb plane rows: [0:6) damped C, [6:9) b, [9:15) Cinv, 15 slot-use count.
 A-panel columns: [0:21) upper-tri A, [21:27) a, [27:33) B Cinv b (the
-reduced-rhs correction, fused into the assembly scatter), rest padding.
+reduced-rhs correction, fused into the assembly scatter), [33:54) the
+upper-tri Schur-diagonal correction sum_i B_ji Cinv_i B_ji^T (the
+Schur-Jacobi preconditioner by-product -- exact because each pose-slot of a
+landmark is a unique (pose, landmark) pair, models/layout.py), rest padding.
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ from ...models.layout import PMShape, PointMajorProblem
 
 _HI = jax.lax.Precision.HIGHEST
 
-A_COLS = 40  # 21 upper-tri A + 6 gradient a + 6 rhs-corr (B Cinv b), padded
+A_COLS = 64  # 21 tri A + 6 grad a + 6 rhs-corr + 21 tri Schur-diag, padded
 COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
 
 # Upper-triangle (a <= b) index pairs for the 6x6 pose block, row-major.
@@ -393,14 +396,34 @@ def _assemble_kernel(shape: PMShape, big: bool, gbase_ref, sbase_ref,
         for a_ in range(6)
     ]
 
+    # Schur-Jacobi preconditioner by-product: per-slot U Cinv U^T, the
+    # landmark-sum of which is EXACTLY the Schur-diagonal correction
+    # sum_i B_ji Cinv_i B_ji^T for pose j, because each slot is a unique
+    # (pose, landmark) pair (models/layout.py groups a pair's rig cameras
+    # into one slot). Fused here where U and Cinv are already in registers:
+    # a separate pass would re-read the 18 U planes -- the dominant DMA.
+    # Only 3 W planes (row a of U Cinv) are live at a time.
+    schur_rows = []
+    for a_ in range(6):
+        ua0, ua1, ua2 = Um[a_ * 3], Um[a_ * 3 + 1], Um[a_ * 3 + 2]
+        wa0 = ua0 * Cinv[0] + ua1 * Cinv[1] + ua2 * Cinv[2]
+        wa1 = ua0 * Cinv[1] + ua1 * Cinv[3] + ua2 * Cinv[4]
+        wa2 = ua0 * Cinv[2] + ua1 * Cinv[4] + ua2 * Cinv[5]
+        for b_ in range(a_, 6):
+            schur_rows.append(
+                wa0 * Um[b_ * 3] + wa1 * Um[b_ * 3 + 1] + wa2 * Um[b_ * 3 + 2]
+            )
+
     # Pose-system panel: windowed one-hot MXU scatter, chunked over P.
-    # Columns [0:21) upper-tri A, [21:27) gradient a, [27:33) B Cinv b.
+    # Columns [0:21) upper-tri A, [21:27) gradient a, [27:33) B Cinv b,
+    # [33:54) upper-tri Schur-diagonal correction.
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
         + [rhs_rows[a_].reshape(1, Kp * bm) for a_ in range(6)]
-        + [jnp.zeros((A_COLS - 33, Kp * bm), jnp.float32)],
+        + [schur_rows[n_].reshape(1, Kp * bm) for n_ in range(21)]
+        + [jnp.zeros((A_COLS - 54, Kp * bm), jnp.float32)],
         axis=0,
     )  # (A_COLS, Kp*bm)
     _scatter_window_hilo(Apan_ref, P, idx_s, contrib)
@@ -664,6 +687,25 @@ def finish_pose_system_tri(flat, lam):
     a = flat[:, 21:27]
     rhs = a - flat[:, 27:33]
     return tri6_damp(flat[:, :21], lam), a, rhs
+
+
+def schur_precond_tri(flat, lam):
+    """Schur-Jacobi preconditioner blocks from the assembly partials:
+    diag_j(S) = damped A_jj - sum_i B_ji Cinv_i B_ji^T, flat (n_opt, 21) tri
+    layout (invert with ops/sym6.inverse_tri6).
+
+    This is the standard BA preconditioner (the diagonal blocks of the exact
+    reduced camera matrix S; cf. the block-Jacobi-on-A baseline it replaces,
+    which ignores the Schur correction entirely). SPD for lam > 0: per
+    (pose j, landmark i) pair, C_i >= the pair's own R^T R sub-block, so
+    B_ji Cinv_i B_ji^T <= the pair's Q^T Q contribution to A_jj (Schur
+    complement of the pair's PSD normal block); summing over i and adding
+    the (1 + lam) damping keeps diag_j(S) positive definite. In distributed
+    mode psum `flat` over the data axis first (landmark sums).
+    """
+    from ...ops.sym6 import tri6_damp
+
+    return tri6_damp(flat[:, :21], lam) - flat[:, 33:54]
 
 
 def finish_pose_system(flat, lam):

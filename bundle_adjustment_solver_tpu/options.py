@@ -86,6 +86,27 @@ class Options:
     reduced_system: str = "auto"  # 'dense' | 'cg' | 'pm' | 'auto'
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-8
+    # Preconditioner of the reduced-system CG. 'schur_jacobi' (default) uses
+    # the diagonal blocks of the exact Schur complement S = A - B Cinv B^T
+    # (a free by-product of the fused assembly kernel in the point-major
+    # engine; one extra observation pass in the observation-table engine) --
+    # measured ~2x fewer CG iterations than 'jacobi' (block-diagonal of the
+    # damped A alone) on the 10k-pose flagship.
+    cg_precond: str = "schur_jacobi"  # 'schur_jacobi' | 'jacobi'
+    # Inner-CG termination. 'fixed' uses cg_tolerance as a constant relative
+    # ||r||^2 / ||rhs||^2 threshold (plus the cg_max_iterations cap);
+    # 'ew' derives the tolerance per LM iteration with an Eisenstat-Walker
+    # choice-2 forcing sequence (eta_k = gamma (||rhs_k|| / ||rhs_{k-1}||)^2,
+    # clamped to [cg_forcing_min, cg_forcing_max]) so early LM iterations --
+    # whose linearization a tight solve cannot help -- terminate CG in a
+    # handful of iterations, the standard inexact-Newton policy for BA.
+    cg_forcing: str = "fixed"  # 'fixed' | 'ew'
+    cg_forcing_max: float = 0.1  # eta upper clamp (also the first iteration)
+    cg_forcing_min: float = 1e-3  # eta lower clamp
+    # Start CG from the previous LM iteration's solution instead of 0 (costs
+    # one extra matvec for the initial residual; pays when consecutive
+    # reduced systems are similar -- e.g. retries after a rejected step).
+    cg_warm_start: bool = False
     gd_step_clip: float = 0.001
     # 'reference' reproduces the reference's cost: sum of residual L2 norms
     # (full cpp:427, a quirk -- the quadratic model is in squared units);

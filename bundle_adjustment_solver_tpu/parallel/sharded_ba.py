@@ -41,9 +41,11 @@ from ..ops.projection import (
     warp_to_cameras,
 )
 from ..options import IterationStatus, Options, SolverType
+from ..solvers.full_ba import _cg_tolerance
 from ..summary import (
     INFO_ABS_STEP,
     INFO_AVG_REPROJ,
+    INFO_CG_ITERS,
     INFO_COST,
     INFO_COST_CHANGE,
     INFO_DAMPING,
@@ -347,7 +349,7 @@ def _device_program(
 
     def body(c):
         (R_cw, t_cw, X_local, lam, prev_cost, it, done, converged, info,
-         num_info) = c
+         num_info, x_prev, rhs_norm_prev, eta_prev) = c
         X_ref, X_cam, r, w, (fx, fy, R_jw, R_cam) = residual_pass(
             R_cw, t_cw, X_local
         )
@@ -413,9 +415,25 @@ def _device_program(
             ]
         )
 
-        precond = H.inverse_6x6(A_d)
-        x, _, _ = H.block_pcg(
-            matvec, rhs, precond, opts.cg_max_iterations, opts.cg_tolerance
+        if getattr(opts, "cg_precond", "jacobi") == "schur_jacobi":
+            # Schur-Jacobi: per-shard observation-pass correction
+            # sum_o U_o Cinv U_o^T, psum'd into the replicated pose blocks
+            # (see ops/hessian.schur_diag_correction for the SPD argument).
+            Cinv_g = H._gather_padded(Cinv, obs_point_opt, m_opt_l)
+            UC = jnp.einsum("oab,obc->oac", U, Cinv_g, precision=_HIGHEST)
+            UCUt = jnp.einsum("oac,obc->oab", UC, U, precision=_HIGHEST)
+            corr_diag = _psum(
+                jax.ops.segment_sum(
+                    UCUt, obs_pose_opt, num_segments=n_opt + 1
+                )[:n_opt]
+            )
+            precond = H.inverse_6x6(A_d - corr_diag)
+        else:
+            precond = H.inverse_6x6(A_d)
+        tol, eta, rhs_norm = _cg_tolerance(opts, rhs, rhs_norm_prev, eta_prev)
+        x, _, cg_it = H.block_pcg(
+            matvec, rhs, precond, opts.cg_max_iterations, tol,
+            x0=x_prev if getattr(opts, "cg_warm_start", False) else None,
         )
 
         # Back-substitution: local landmarks only.
@@ -508,6 +526,7 @@ def _device_program(
         row = row.at[INFO_ABS_STEP].set(avg_step)
         row = row.at[INFO_DAMPING].set(lam_new)
         row = row.at[INFO_STATUS].set(status)
+        row = row.at[INFO_CG_ITERS].set(cg_it.astype(dtype))
 
         return (
             R_next,
@@ -520,6 +539,9 @@ def _device_program(
             converged,
             info.at[it].set(row),
             num_info + 1,
+            x,
+            rhs_norm,
+            eta,
         )
 
     def cond(c):
@@ -537,9 +559,12 @@ def _device_program(
         jnp.asarray(False),
         jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
         jnp.asarray(0, jnp.int32),
+        jnp.zeros((n_opt, 6), dtype),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype),
     )
     (R_cw, t_cw, X_local, lam, final_cost, it, _, converged, info,
-     num_info) = jax.lax.while_loop(cond, body, carry0)
+     num_info, _, _, _) = jax.lax.while_loop(cond, body, carry0)
 
     t_user = t_cw * inv_scale
     R_wc, t_wc = inverse_se3(R_cw, t_user)

@@ -9,14 +9,14 @@ fused Pallas kernels of ops/pallas/full_ba_pm.py on each shard:
     (lane) axis at block granularity -- no repacking: `shard_map` in_specs
     simply split the last axis, and each device runs the kernels over its own
     blocks with its own per-block pose-window bases;
-  - per-shard pose-system partials (the flat (N_opt, 32) panel sums from the
+  - per-shard pose-system partials (the flat (N_opt, 64) panel sums from the
     assembly kernel, the matvec/rhs corrections, and the cost partials) are
     `psum`'d -- 6 N_opt floats per CG step, exactly the survey's all-reduce
     pattern;
   - landmark state (C, Cinv, b, U, back-substituted y, point updates) never
     leaves its shard.
 
-Communication per LM iteration: one psum of (N_opt, 32) for assembly, one
+Communication per LM iteration: one psum of (N_opt, 64) for assembly, one
 (N_opt, 6) psum per CG iteration, and a handful of scalar psums -- at
 N_opt = 10k that is ~1.3 MB + 240 KB x CG iters over ICI.
 """
@@ -38,11 +38,12 @@ from ..ops.lie import compose, inverse_se3, se3_exp
 from ..ops.sym6 import inverse_tri6, tri6_matvec
 from ..ops.pallas import full_ba_pm as K
 from ..options import IterationStatus, Options, SolverType
-from ..solvers.full_ba import FullBAState, _GN_LAMBDA
+from ..solvers.full_ba import FullBAState, _GN_LAMBDA, _cg_tolerance
 from ..solvers.full_ba_pm import _apply_cinv, _c_times, pm_from_finalized
 from ..summary import (
     INFO_ABS_STEP,
     INFO_AVG_REPROJ,
+    INFO_CG_ITERS,
     INFO_COST,
     INFO_COST_CHANGE,
     INFO_DAMPING,
@@ -91,13 +92,14 @@ def comm_volume_model(
     as machine-readable bytes (the prose model in the module docstring).
 
     Counted from the `_psum` call sites in `_device_program`:
-      - assembly panel (N_opt, 32): once per LM iteration;
+      - assembly panel (N_opt, A_COLS=64, incl. the fused Schur-Jacobi
+        preconditioner columns): once per LM iteration;
       - matvec pose-correction (N_opt, 6): once per CG iteration;
       - scalars (candidate cost, predicted point decrease, point step norm):
         three per LM iteration (plus once-per-solve n_params/RMSE scalars,
         excluded here).
     """
-    assembly = num_opt_poses * 32 * dtype_bytes
+    assembly = num_opt_poses * K.A_COLS * dtype_bytes
     per_cg = num_opt_poses * 6 * dtype_bytes
     scalars = 3 * dtype_bytes
     return {
@@ -180,9 +182,10 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         )
         return _psum(s_wsq if metric == "squared" else s_norm)
 
-    def pcg(Cb, U, Atri, rhs):
-        precond_tri = inverse_tri6(Atri)
+    use_schur = getattr(opts, "cg_precond", "jacobi") == "schur_jacobi"
+    warm = getattr(opts, "cg_warm_start", False)
 
+    def pcg(Cb, U, Atri, rhs, precond_tri, tol, x_start):
         def matvec(x):
             corr, t = K.matvec_corr_pm(
                 pm_local, shape, Cb, U, x, interpret=interpret
@@ -192,17 +195,23 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         def apply_precond(r):
             return tri6_matvec(precond_tri, r)
 
-        x0 = jnp.zeros_like(rhs)
-        z0 = apply_precond(rhs)
-        rz0 = jnp.sum(rhs * z0)
+        if x_start is None:
+            x0 = jnp.zeros_like(rhs)
+            r0 = rhs
+            t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
+        else:
+            Sx0, t0 = matvec(x_start)
+            x0 = x_start
+            r0 = rhs - Sx0
+        z0 = apply_precond(r0)
+        rz0 = jnp.sum(r0 * z0)
         rhs_sq = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
-        t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
 
         def cond(state):
             _, r, _, _, rz, _, it = state
             return jnp.logical_and(
                 it < opts.cg_max_iterations,
-                jnp.sum(r * r) > opts.cg_tolerance * rhs_sq,
+                jnp.sum(r * r) > tol * rhs_sq,
             )
 
         def body(state):
@@ -219,21 +228,22 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             p = z + beta * p
             return (x, r, z, p, rz_new, t_acc, it + 1)
 
-        x, _, _, _, _, t, _ = jax.lax.while_loop(
-            cond, body, (x0, rhs, z0, z0, rz0, t0, jnp.asarray(0, jnp.int32))
+        x, _, _, _, _, t, it = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, z0, rz0, t0, jnp.asarray(0, jnp.int32))
         )
-        return x, t
+        return x, t, it
 
     def body(c):
         (R_cw, t_cw, X, lam, prev_cost, it, done, converged, info,
-         num_info) = c
+         num_info, x_prev, rhs_norm_prev, eta_prev) = c
         lam_eff = lam if is_lm else jnp.asarray(_GN_LAMBDA, dtype)
         flat, Cb, U = K.assemble_pm_partials(
             pm_local, shape, R_cw, t_cw, X, rig, lam_eff, huber,
             interpret=interpret,
             u_dtype=getattr(opts, "coupling_dtype", "float32"),
         )
-        Atri, a, rhs = K.finish_pose_system_tri(_psum(flat), lam_eff)
+        flat_g = _psum(flat)
+        Atri, a, rhs = K.finish_pose_system_tri(flat_g, lam_eff)
 
         if is_gd:
             def clip_blocks(g, clip):
@@ -242,9 +252,22 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
 
             x = clip_blocks(a.T, opts.gd_step_clip).T
             y = clip_blocks(Cb[6:9], opts.gd_step_clip)
+            cg_it = jnp.asarray(0, jnp.int32)
+            eta = jnp.asarray(0.0, dtype)
+            rhs_norm = jnp.asarray(0.0, dtype)
         else:
-            # rhs = a - B Cinv b arrives fused from the (psum'd) assembly.
-            x, t = pcg(Cb, U, Atri, rhs)
+            # rhs = a - B Cinv b arrives fused from the (psum'd) assembly;
+            # the Schur-Jacobi blocks ride the same psum (flat[:, 33:54]).
+            precond_tri = inverse_tri6(
+                K.schur_precond_tri(flat_g, lam_eff) if use_schur else Atri
+            )
+            tol, eta, rhs_norm = _cg_tolerance(
+                opts, rhs, rhs_norm_prev, eta_prev
+            )
+            x, t, cg_it = pcg(
+                Cb, U, Atri, rhs, precond_tri, tol,
+                x_prev if warm else None,
+            )
             y = _apply_cinv(Cb, t)
 
         dR, dt = se3_exp(x)
@@ -322,12 +345,14 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         row = row.at[INFO_ABS_STEP].set(avg_step)
         row = row.at[INFO_DAMPING].set(lam_new)
         row = row.at[INFO_STATUS].set(status)
+        row = row.at[INFO_CG_ITERS].set(cg_it.astype(dtype))
 
         return (
             R_next, t_next, X_next, lam_new,
             jnp.where(cost_ok, current_cost, prev_cost), it + 1,
             jnp.logical_or(conv_now, at_last), converged,
             info.at[it].set(row), num_info + 1,
+            x, rhs_norm, eta,
         )
 
     def cond(c):
@@ -344,9 +369,12 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         jnp.asarray(False),
         jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
         jnp.asarray(0, jnp.int32),
+        jnp.zeros((shape.num_opt_poses, 6), jnp.float32),
+        jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype),
     )
     (R_cw, t_cw, X, lam, final_cost, it, _, converged, info,
-     num_info) = jax.lax.while_loop(cond, body, carry0)
+     num_info, _, _, _) = jax.lax.while_loop(cond, body, carry0)
 
     _, _, s_sq, s_cnt = K.cost_pm(
         pm_local, shape, R_cw, t_cw, X, rig, huber, interpret=interpret

@@ -52,6 +52,7 @@ from ..options import IterationStatus, Options, SolverType
 from ..summary import (
     INFO_ABS_GRADIENT,
     INFO_ABS_STEP,
+    INFO_CG_ITERS,
     INFO_AVG_REPROJ,
     INFO_COST,
     INFO_COST_CHANGE,
@@ -93,6 +94,37 @@ class _Carry(NamedTuple):
     converged: jax.Array
     info: jax.Array
     num_info: jax.Array
+    # Inner-CG state across LM iterations: previous pose step (warm start),
+    # previous reduced-rhs norm and forcing tolerance (Eisenstat-Walker).
+    x_prev: jax.Array  # (n_opt, 6)
+    rhs_norm_prev: jax.Array  # ()
+    eta_prev: jax.Array  # ()
+
+
+def _cg_tolerance(opts: Options, rhs, rhs_norm_prev, eta_prev):
+    """Per-LM-iteration inner-CG relative tolerance.
+
+    'fixed': the constant Options.cg_tolerance (on ||r||^2/||rhs||^2).
+    'ew': Eisenstat-Walker choice 2 (eta_k = gamma (||rhs_k||/||rhs_{k-1}||)^2
+    with the gamma eta_{k-1}^2 safeguard, clamped to
+    [cg_forcing_min, cg_forcing_max]); the first LM iteration uses the max.
+    Returns (tol, eta, rhs_norm) with tol = eta^2 so the PCG's
+    squared-residual test stops at ||r|| <= eta ||rhs||.
+    """
+    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+    if getattr(opts, "cg_forcing", "fixed") != "ew":
+        return (
+            jnp.asarray(opts.cg_tolerance, jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            rhs_norm,
+        )
+    gamma = 0.9
+    eta_raw = gamma * (rhs_norm / jnp.maximum(rhs_norm_prev, 1e-30)) ** 2
+    guard = gamma * eta_prev * eta_prev
+    eta = jnp.where(guard > 0.1, jnp.maximum(eta_raw, guard), eta_raw)
+    eta = jnp.where(rhs_norm_prev > 0.0, eta, opts.cg_forcing_max)
+    eta = jnp.clip(eta, opts.cg_forcing_min, opts.cg_forcing_max)
+    return eta * eta, eta, rhs_norm
 
 
 def _residuals(problem: FinalizedProblem, R_cw, t_cw, X, huber):
@@ -137,9 +169,12 @@ def _model_decrease(sys: H.BlockSystem, problem, shape, x, y):
     return -(term_pose + term_point + cross)
 
 
-def _reduced_solve(sys, problem, shape: ProblemShape, options: Options, mode: str):
+def _reduced_solve(sys, problem, shape: ProblemShape, options: Options,
+                   mode: str, cg_state=None):
     """Solve the reduced camera system for x (N_opt, 6) and back-substitute
-    y (M_opt, 3)."""
+    y (M_opt, 3). Returns (x, y, cg_iters, eta, rhs_norm) -- the last three
+    are 0 for the dense mode. `cg_state` = (x_prev, rhs_norm_prev, eta_prev)
+    feeds the CG path's warm start and Eisenstat-Walker forcing."""
     if mode == "dense":
         B = H.dense_coupling(
             sys.U,
@@ -169,8 +204,35 @@ def _reduced_solve(sys, problem, shape: ProblemShape, options: Options, mode: st
             shape.num_opt_poses,
             shape.num_opt_points,
         )
-        precond = H.inverse_6x6(sys.A)
-        x, _, _ = H.block_pcg(
+        if getattr(options, "cg_precond", "jacobi") == "schur_jacobi":
+            # Schur-Jacobi: diag blocks of S itself (A minus the
+            # observation-pass Schur correction) -- roughly halves CG
+            # iteration counts vs plain block-Jacobi on A (see the PM
+            # engine's measurement in PERF.md).
+            corr = H.schur_diag_correction(
+                sys,
+                problem.obs_pose_opt,
+                problem.obs_point_opt,
+                shape.num_opt_poses,
+                shape.num_opt_points,
+            )
+            precond = H.inverse_6x6(sys.A - corr)
+        else:
+            precond = H.inverse_6x6(sys.A)
+        if cg_state is not None:
+            x_prev, rhs_norm_prev, eta_prev = cg_state
+            tol, eta, rhs_norm = _cg_tolerance(
+                options, rhs, rhs_norm_prev, eta_prev
+            )
+            x0 = x_prev if getattr(options, "cg_warm_start", False) else None
+        else:
+            tol, eta, rhs_norm = (
+                options.cg_tolerance,
+                jnp.asarray(0.0, rhs.dtype),
+                jnp.sqrt(jnp.sum(rhs * rhs)),
+            )
+            x0 = None
+        x, _, cg_it = H.block_pcg(
             lambda v: H.schur_matvec(
                 sys,
                 problem.obs_pose_opt,
@@ -182,7 +244,8 @@ def _reduced_solve(sys, problem, shape: ProblemShape, options: Options, mode: st
             rhs,
             precond,
             options.cg_max_iterations,
-            options.cg_tolerance,
+            tol,
+            x0=x0,
         )
         y = H.back_substitute_matfree(
             sys,
@@ -192,7 +255,14 @@ def _reduced_solve(sys, problem, shape: ProblemShape, options: Options, mode: st
             shape.num_opt_points,
             x,
         )
-    return x, y
+        return x, y, cg_it, eta, rhs_norm
+    return (
+        x,
+        y,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0.0, x.dtype),
+        jnp.asarray(0.0, x.dtype),
+    )
 
 
 def _apply_step(problem, R_cw, t_cw, X, x, y):
@@ -280,8 +350,14 @@ def _loop_pieces(
 
             x = clip_blocks(sys.a, opts.gd_step_clip)
             y = clip_blocks(sys.b, opts.gd_step_clip)
+            cg_it = jnp.asarray(0, jnp.int32)
+            eta = jnp.asarray(0.0, dtype)
+            rhs_norm = jnp.asarray(0.0, dtype)
         else:
-            x, y = _reduced_solve(sys, problem, shape, opts, mode)
+            x, y, cg_it, eta, rhs_norm = _reduced_solve(
+                sys, problem, shape, opts, mode,
+                cg_state=(c.x_prev, c.rhs_norm_prev, c.eta_prev),
+            )
 
         R_cand, t_cand, X_cand = _apply_step(problem, c.R_cw, c.t_cw, c.X, x, y)
         current_cost = eval_cost(R_cand, t_cand, X_cand)
@@ -352,6 +428,7 @@ def _loop_pieces(
         row = row.at[INFO_ABS_GRADIENT].set(0.0)
         row = row.at[INFO_DAMPING].set(lam_new)
         row = row.at[INFO_STATUS].set(status)
+        row = row.at[INFO_CG_ITERS].set(cg_it.astype(dtype))
 
         return _Carry(
             R_cw=R_next,
@@ -365,6 +442,9 @@ def _loop_pieces(
             converged=converged,
             info=c.info.at[c.it].set(row),
             num_info=c.num_info + 1,
+            x_prev=x,
+            rhs_norm_prev=rhs_norm,
+            eta_prev=eta,
         )
 
     def cond(c: _Carry):
@@ -395,6 +475,9 @@ def _init_carry_jax(
         converged=jnp.asarray(False),
         info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=dtype),
         num_info=jnp.asarray(0, jnp.int32),
+        x_prev=jnp.zeros((shape.num_opt_poses, 6), dtype),
+        rhs_norm_prev=jnp.asarray(0.0, dtype),
+        eta_prev=jnp.asarray(0.0, dtype),
     )
 
 

@@ -45,6 +45,7 @@ from ..summary import (
     INFO_ABS_GRADIENT,
     INFO_ABS_STEP,
     INFO_AVG_REPROJ,
+    INFO_CG_ITERS,
     INFO_COST,
     INFO_COST_CHANGE,
     INFO_DAMPING,
@@ -52,7 +53,7 @@ from ..summary import (
     INFO_STATUS,
     Summary,
 )
-from .full_ba import FullBAState, _GN_LAMBDA
+from .full_ba import FullBAState, _GN_LAMBDA, _cg_tolerance
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -68,6 +69,11 @@ class _Carry(NamedTuple):
     converged: jax.Array
     info: jax.Array
     num_info: jax.Array
+    # Inner-CG state across LM iterations: previous pose step (warm start),
+    # previous reduced-rhs norm and forcing tolerance (Eisenstat-Walker).
+    x_prev: jax.Array  # (n_opt, 6)
+    rhs_norm_prev: jax.Array  # ()
+    eta_prev: jax.Array  # ()
 
 
 def pm_from_finalized(
@@ -153,12 +159,17 @@ def _c_times(Cb, y):
 
 
 def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
-                  interpret):
-    """Block-Jacobi PCG on the reduced system with the Pallas matvec; the
-    pose blocks stay in the flat tri layout (ops/sym6.py).
+                  interpret, x0=None):
+    """Block-preconditioned PCG on the reduced system with the Pallas
+    matvec; the pose blocks stay in the flat tri layout (ops/sym6.py).
 
-    Returns (x, t_at_x) where t_at_x = B^T x from one final matvec (exact at
-    the returned x, needed by back-substitution)."""
+    `tol` may be a traced scalar (the Eisenstat-Walker forcing tolerance on
+    ||r||^2 / ||rhs||^2). `x0` warm-starts the iteration (one extra matvec
+    for the initial residual); None starts from zero as the reference's
+    direct solve effectively does (full cpp:890-908).
+
+    Returns (x, t_at_x, iters) where t_at_x = B^T x accumulated alongside
+    (exact at the returned x, needed by back-substitution)."""
     from ..ops.sym6 import tri6_matvec
 
     def matvec(x):
@@ -168,12 +179,17 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     def apply_precond(r):
         return tri6_matvec(precond_tri, r)
 
-    x0 = jnp.zeros_like(rhs)
-    r0 = rhs
+    if x0 is None:
+        x_init = jnp.zeros_like(rhs)
+        r0 = rhs
+        t_init = jnp.zeros((4, shape.padded_points), jnp.float32)
+    else:
+        Sx0, t_init = matvec(x0)
+        x_init = x0
+        r0 = rhs - Sx0
     z0 = apply_precond(r0)
     rz0 = jnp.sum(r0 * z0)
     rhs_sq = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
-    t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
 
     def cond(state):
         _, r, _, _, rz, _, it = state
@@ -196,10 +212,11 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
         p = z + beta * p
         return (x, r, z, p, rz_new, t_acc, it + 1)
 
-    x, _, _, _, _, t, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, z0, z0, rz0, t0, jnp.asarray(0, jnp.int32))
+    x, _, _, _, _, t, it = jax.lax.while_loop(
+        cond, body, (x_init, r0, z0, z0, rz0, t_init,
+                     jnp.asarray(0, jnp.int32))
     )
-    return x, t
+    return x, t, it
 
 
 def _pm_loop_pieces(
@@ -237,6 +254,9 @@ def _pm_loop_pieces(
 
     u_dtype = getattr(opts, "coupling_dtype", "float32")
 
+    use_schur = getattr(opts, "cg_precond", "jacobi") == "schur_jacobi"
+    warm = getattr(opts, "cg_warm_start", False)
+
     def body(c: _Carry):
         lam_eff = c.lam if is_lm else jnp.asarray(_GN_LAMBDA, dtype)
         flat, Cb, U = K.assemble_pm_partials(
@@ -253,12 +273,21 @@ def _pm_loop_pieces(
             x = clip_blocks(a.T, opts.gd_step_clip).T  # (n_opt, 6)
             b_planes = Cb[6:9]
             y = clip_blocks(b_planes, opts.gd_step_clip)  # (3, Mp)
+            cg_it = jnp.asarray(0, jnp.int32)
+            eta = jnp.asarray(0.0, jnp.float32)
+            rhs_norm = jnp.asarray(0.0, jnp.float32)
         else:
             # rhs = a - B Cinv b arrives fused from the assembly kernel.
-            precond_tri = inverse_tri6(Atri)
-            x, t = _block_pcg_pm(
+            precond_tri = inverse_tri6(
+                K.schur_precond_tri(flat, lam_eff) if use_schur else Atri
+            )
+            tol, eta, rhs_norm = _cg_tolerance(
+                opts, rhs, c.rhs_norm_prev, c.eta_prev
+            )
+            x, t, cg_it = _block_pcg_pm(
                 pm, shape, Atri, Cb, U, rhs, precond_tri,
-                opts.cg_max_iterations, opts.cg_tolerance, interpret,
+                opts.cg_max_iterations, tol, interpret,
+                x0=c.x_prev if warm else None,
             )
             y = _apply_cinv(Cb, t)  # (3, Mp)
 
@@ -342,6 +371,7 @@ def _pm_loop_pieces(
         row = row.at[INFO_ABS_GRADIENT].set(0.0)
         row = row.at[INFO_DAMPING].set(lam_new)
         row = row.at[INFO_STATUS].set(status)
+        row = row.at[INFO_CG_ITERS].set(cg_it.astype(dtype))
 
         return _Carry(
             R_cw=R_next,
@@ -354,6 +384,9 @@ def _pm_loop_pieces(
             converged=converged,
             info=c.info.at[c.it].set(row),
             num_info=c.num_info + 1,
+            x_prev=x,
+            rhs_norm_prev=rhs_norm,
+            eta_prev=eta,
         )
 
     def cond(c: _Carry):
@@ -385,6 +418,9 @@ def _pm_init_carry_jax(
         converged=jnp.asarray(False),
         info=jnp.zeros((max_iter, INFO_NUM_COLS), dtype=jnp.float32),
         num_info=jnp.asarray(0, jnp.int32),
+        x_prev=jnp.zeros((shape.num_opt_poses, 6), jnp.float32),
+        rhs_norm_prev=jnp.asarray(0.0, jnp.float32),
+        eta_prev=jnp.asarray(0.0, jnp.float32),
     )
 
 

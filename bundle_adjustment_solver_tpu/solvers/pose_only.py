@@ -642,6 +642,19 @@ def solve_monocular_planar3dof_jax(
     validf = valid.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf), 1.0)
     sticky = getattr(opts, "outlier_mask", "final") == "reference"
+    use_pallas = _use_pallas(options, points.shape[0])
+    if use_pallas:
+        from ..ops.pallas.pose_only_gn import (
+            pack_problem_planes,
+            pose_only_gn_stats_planar,
+        )
+
+        planes = pack_problem_planes(points, pixels, valid)[:6]
+        intr_vec = jnp.stack([fx, fy, cx, cy])
+        jp_base = jnp.stack([
+            R_cb[0, 0], R_cb[0, 1], R_cb[1, 0],
+            R_cb[1, 1], R_cb[2, 0], R_cb[2, 1],
+        ])
 
     def cond(c: _PlanarCarry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
@@ -650,20 +663,37 @@ def solve_monocular_planar3dof_jax(
         R_p, t_p = planar_to_se3(c.theta)
         cos_psi, sin_psi = jnp.cos(c.theta[2]), jnp.sin(c.theta[2])
         R_cb1, t_cb1 = compose(R_cb, t_cb, R_p, t_p)  # camera<-base1 (cpp:490)
-        X_c = jnp.einsum("ij,pj->pi", R_cb1, points, precision=_HIGHEST) + t_cb1
-
-        r, w, manhattan = residual_and_weight(X_c, pixels, fx, fy, cx, cy, huber)
-        J = pose_only_jacobian_planar3dof(
-            X_c, points, fx, fy, R_cb, cos_psi, sin_psi
-        )
-        wv = w * validf
-        JtWJ, g = _normal_equations(J, r, wv, 3)
+        if use_pallas:
+            # Fused planar pass (ops/pallas/pose_only_gn.py): the psi-lever
+            # reads the same base-frame planes the warp consumes. Mask is
+            # recomputed once after the loop (cf. the 6-DoF fused path).
+            rt = jnp.concatenate([R_cb1, t_cb1[:, None]], axis=1)
+            jp = jnp.concatenate([jp_base, jnp.stack([cos_psi, sin_psi])])
+            JtWJ, g, err_sum = pose_only_gn_stats_planar(
+                rt, jp, intr_vec, *planes, huber=float(huber),
+                interpret=options.pallas == "interpret",
+            )
+            mask_left = c.mask_left
+        else:
+            X_c = (
+                jnp.einsum("ij,pj->pi", R_cb1, points, precision=_HIGHEST)
+                + t_cb1
+            )
+            r, w, manhattan = residual_and_weight(
+                X_c, pixels, fx, fy, cx, cy, huber
+            )
+            J = pose_only_jacobian_planar3dof(
+                X_c, points, fx, fy, R_cb, cos_psi, sin_psi
+            )
+            wv = w * validf
+            JtWJ, g = _normal_equations(J, r, wv, 3)
+            err_sum = jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
+            mask_now = valid & (manhattan < thr_outlier)
+            mask_left = c.mask_left & mask_now if sticky else mask_now
         delta = _damped_solve(JtWJ, g, 3)
         theta_new = _planar_update(c.theta, delta)
 
-        err_curr = 0.5 * inv_n * jnp.sum(wv * (r[:, 0] ** 2 + r[:, 1] ** 2))
-        mask_now = valid & (manhattan < thr_outlier)
-        mask_left = c.mask_left & mask_now if sticky else mask_now
+        err_curr = 0.5 * inv_n * err_sum
         step_norm = jnp.linalg.norm(delta)
         conv_now = jnp.logical_or(
             step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
@@ -692,6 +722,17 @@ def solve_monocular_planar3dof_jax(
         debug_t=jnp.zeros((hist, 3), dtype=dtype),
     )
     carry = jax.lax.while_loop(cond, body, carry0)
+    if use_pallas:
+        R_p, t_p = planar_to_se3(carry.theta)
+        R_cb1, t_cb1 = compose(R_cb, t_cb, R_p, t_p)
+        X_c = (
+            jnp.einsum("ij,pj->pi", R_cb1, points, precision=_HIGHEST) + t_cb1
+        )
+        _, _, manhattan = residual_and_weight(
+            X_c, pixels, fx, fy, cx, cy, huber
+        )
+        mask_final = valid & (manhattan < thr_outlier)
+        carry = carry._replace(mask_left=mask_final, mask_right=mask_final)
     return _planar_result(carry, R_bc, t_bc)
 
 
@@ -734,6 +775,28 @@ def solve_stereo_planar3dof_jax(
     validf_r = valid_right.astype(dtype)
     inv_n = 1.0 / jnp.maximum(jnp.sum(validf_l) + jnp.sum(validf_r), 1.0)
     sticky = getattr(opts, "outlier_mask", "final") == "reference"
+    use_pallas = _use_pallas(options, points.shape[0])
+    if use_pallas:
+        from ..ops.pallas.pose_only_gn import (
+            pack_problem_planes,
+            pose_only_gn_stats_planar_stereo,
+        )
+
+        x_p, y_p, z_p, pul_p, pvl_p, vl_p, _ = pack_problem_planes(
+            points, pixels_left, valid
+        )
+        _, _, _, pur_p, pvr_p, vr_p, _ = pack_problem_planes(
+            points, pixels_right, valid_right
+        )
+        intr_lr = jnp.stack([intrinsics_left[:4], intrinsics_right[:4]])
+        rt_rl = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)
+
+        def jp_row(Rm):
+            return jnp.stack([
+                Rm[0, 0], Rm[0, 1], Rm[1, 0], Rm[1, 1], Rm[2, 0], Rm[2, 1],
+            ])
+
+        jp_base = jnp.stack([jp_row(R_cb), jp_row(R_cb_right)])  # (2, 6)
 
     def cond(c: _PlanarCarry):
         return jnp.logical_and(c.it < max_iter, jnp.logical_not(c.done))
@@ -742,38 +805,55 @@ def solve_stereo_planar3dof_jax(
         R_p, t_p = planar_to_se3(c.theta)
         cos_psi, sin_psi = jnp.cos(c.theta[2]), jnp.sin(c.theta[2])
         R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
-        R_r, t_r = compose(R_rl, t_rl, R_l, t_l)
-        X_l = jnp.einsum("ij,pj->pi", R_l, points, precision=_HIGHEST) + t_l
-        X_r = jnp.einsum("ij,pj->pi", R_r, points, precision=_HIGHEST) + t_r
+        if use_pallas:
+            # Fused two-camera planar pass; masks recomputed after the loop.
+            rt = jnp.concatenate([R_l, t_l[:, None]], axis=1)
+            cs = jnp.stack([cos_psi, sin_psi])
+            jp = jnp.concatenate(
+                [jp_base, jnp.stack([cs, cs])], axis=1
+            )  # (2, 8)
+            JtWJ, g, err_sum = pose_only_gn_stats_planar_stereo(
+                rt, rt_rl, jp, intr_lr,
+                x_p, y_p, z_p, pul_p, pvl_p, vl_p, pur_p, pvr_p, vr_p,
+                huber=float(huber),
+                interpret=options.pallas == "interpret",
+            )
+            mask_left, mask_right = c.mask_left, c.mask_right
+        else:
+            R_r, t_r = compose(R_rl, t_rl, R_l, t_l)
+            X_l = jnp.einsum("ij,pj->pi", R_l, points, precision=_HIGHEST) + t_l
+            X_r = jnp.einsum("ij,pj->pi", R_r, points, precision=_HIGHEST) + t_r
 
-        r_l, w_l, man_l = residual_and_weight(
-            X_l, pixels_left, fxl, fyl, cxl, cyl, huber
-        )
-        r_r, w_r, man_r = residual_and_weight(
-            X_r, pixels_right, fxr, fyr, cxr, cyr, huber
-        )
-        J_l = pose_only_jacobian_planar3dof(
-            X_l, points, fxl, fyl, R_cb, cos_psi, sin_psi
-        )
-        J_r = pose_only_jacobian_planar3dof(
-            X_r, points, fxr, fyr, R_cb_right, cos_psi, sin_psi
-        )
-        wv_l = w_l * validf_l
-        wv_r = w_r * validf_r
-        JtWJ_l, g_l = _normal_equations(J_l, r_l, wv_l, 3)
-        JtWJ_r, g_r = _normal_equations(J_r, r_r, wv_r, 3)
-        delta = _damped_solve(JtWJ_l + JtWJ_r, g_l + g_r, 3)
+            r_l, w_l, man_l = residual_and_weight(
+                X_l, pixels_left, fxl, fyl, cxl, cyl, huber
+            )
+            r_r, w_r, man_r = residual_and_weight(
+                X_r, pixels_right, fxr, fyr, cxr, cyr, huber
+            )
+            J_l = pose_only_jacobian_planar3dof(
+                X_l, points, fxl, fyl, R_cb, cos_psi, sin_psi
+            )
+            J_r = pose_only_jacobian_planar3dof(
+                X_r, points, fxr, fyr, R_cb_right, cos_psi, sin_psi
+            )
+            wv_l = w_l * validf_l
+            wv_r = w_r * validf_r
+            JtWJ_l, g_l = _normal_equations(J_l, r_l, wv_l, 3)
+            JtWJ_r, g_r = _normal_equations(J_r, r_r, wv_r, 3)
+            JtWJ, g = JtWJ_l + JtWJ_r, g_l + g_r
+            err_sum = (
+                jnp.sum(wv_l * (r_l[:, 0] ** 2 + r_l[:, 1] ** 2))
+                + jnp.sum(wv_r * (r_r[:, 0] ** 2 + r_r[:, 1] ** 2))
+            )
+            # 'final' mask or sticky 'reference' accumulation (cpp:95-98).
+            mask_l_now = valid & (man_l < thr_outlier)
+            mask_r_now = valid_right & (man_r < thr_outlier)
+            mask_left = c.mask_left & mask_l_now if sticky else mask_l_now
+            mask_right = c.mask_right & mask_r_now if sticky else mask_r_now
+        delta = _damped_solve(JtWJ, g, 3)
         theta_new = _planar_update(c.theta, delta)
 
-        err_curr = (
-            jnp.sum(wv_l * (r_l[:, 0] ** 2 + r_l[:, 1] ** 2))
-            + jnp.sum(wv_r * (r_r[:, 0] ** 2 + r_r[:, 1] ** 2))
-        ) * (2.0 * inv_n)
-        # 'final' mask or sticky 'reference' accumulation (cpp:95-98).
-        mask_l_now = valid & (man_l < thr_outlier)
-        mask_r_now = valid_right & (man_r < thr_outlier)
-        mask_left = c.mask_left & mask_l_now if sticky else mask_l_now
-        mask_right = c.mask_right & mask_r_now if sticky else mask_r_now
+        err_curr = err_sum * (2.0 * inv_n)
         step_norm = jnp.linalg.norm(delta)
         conv_now = jnp.logical_or(
             step_norm < thr_step, jnp.abs(err_curr - c.err_prev) < thr_cost
@@ -802,6 +882,22 @@ def solve_stereo_planar3dof_jax(
         debug_t=jnp.zeros((hist, 3), dtype=dtype),
     )
     carry = jax.lax.while_loop(cond, body, carry0)
+    if use_pallas:
+        R_p, t_p = planar_to_se3(carry.theta)
+        R_l, t_l = compose(R_cb, t_cb, R_p, t_p)
+        R_r, t_r = compose(R_rl, t_rl, R_l, t_l)
+        X_l = jnp.einsum("ij,pj->pi", R_l, points, precision=_HIGHEST) + t_l
+        X_r = jnp.einsum("ij,pj->pi", R_r, points, precision=_HIGHEST) + t_r
+        _, _, man_l = residual_and_weight(
+            X_l, pixels_left, fxl, fyl, cxl, cyl, huber
+        )
+        _, _, man_r = residual_and_weight(
+            X_r, pixels_right, fxr, fyr, cxr, cyr, huber
+        )
+        carry = carry._replace(
+            mask_left=valid & (man_l < thr_outlier),
+            mask_right=valid_right & (man_r < thr_outlier),
+        )
     return _planar_result(carry, R_bc, t_bc)
 
 

@@ -38,6 +38,9 @@ class OptimizationInfo:
     damping_term: float = -1.0
     iter_time: float = -1.0
     iteration_status: IterationStatus = IterationStatus.UNDEFINED
+    # Extra (not in the reference, whose reduced solve is a dense LDLT):
+    # inner-CG iterations spent by this LM iteration (0 for dense/GD modes).
+    cg_iterations: int = 0
 
 
 # Column layout of the device-side info buffer filled by the solvers.
@@ -48,7 +51,8 @@ INFO_ABS_STEP = 3
 INFO_ABS_GRADIENT = 4
 INFO_DAMPING = 5
 INFO_STATUS = 6
-INFO_NUM_COLS = 7
+INFO_CG_ITERS = 7
+INFO_NUM_COLS = 8
 
 
 @dataclasses.dataclass
@@ -104,6 +108,7 @@ class Summary:
                         float(iter_times_ms[i]) if iter_times_ms is not None else -1.0
                     ),
                     iteration_status=IterationStatus(int(row[INFO_STATUS])),
+                    cg_iterations=int(row[INFO_CG_ITERS]),
                 )
             )
         return summary

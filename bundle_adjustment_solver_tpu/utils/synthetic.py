@@ -426,3 +426,121 @@ def batched_stereo_pose_only_problem(
         poses_true=T_true,
         poses_initial=np.tile(np.eye(4), (B, 1, 1)),
     )
+
+
+@dataclasses.dataclass
+class BatchedPlanarPoseOnlyProblem:
+    """Many independent planar-3-DoF pose-only frames (the reference's
+    test_3dof_mono_poseonly_ba.cpp workload shape, batched): one shared
+    base->camera mounting (and stereo rig where present); per-frame point
+    clouds in the base1 frame, pixel matches, and pose-prior chains."""
+
+    points: np.ndarray  # (B, P, 3) points in each frame's base1 frame
+    pixels_left: np.ndarray  # (B, P, 2)
+    pixels_right: np.ndarray | None  # (B, P, 2); negative = no match
+    intrinsics: np.ndarray  # (4,)
+    base_to_camera: np.ndarray  # (4, 4) shared mounting extrinsic
+    pose_left_to_right: np.ndarray | None  # (4, 4) rig extrinsic (stereo)
+    poses_world_to_last: np.ndarray  # (B, 4, 4)
+    poses_world_to_current_init: np.ndarray  # (B, 4, 4) initial guesses
+    poses_world_to_current_true: np.ndarray  # (B, 4, 4)
+    theta_true: np.ndarray  # (B, 3) true planar motions (x, y, psi)
+
+
+def batched_planar_pose_only_problem(
+    num_frames: int = 1024,
+    points_per_frame: int = 512,
+    seed: int = 0,
+    stereo: bool = False,
+    pixel_noise: float = 0.0,
+    drop_right_frac: float = 0.1,
+    baseline: float = 0.12,
+    fx: float = 525.0,
+    fy: float = 525.0,
+    cx: float = 320.0,
+    cy: float = 240.0,
+) -> BatchedPlanarPoseOnlyProblem:
+    """Vectorized batch of planar-3-DoF pose-only problems (mono or stereo).
+
+    Geometry mirrors the reference's robot chain
+    (test_3dof_mono_poseonly_ba.cpp:109-136): the camera looks along the
+    base +x axis, points live 3-10 m ahead in the base1 frame, and each
+    frame's true motion is a small planar (x, y, psi) twist of base2<-base1.
+    world == base1, so pose_world_to_last is the mounting extrinsic itself
+    and the solver must recover T_wc2 = T_b2b1^-1 @ base_to_camera.
+    """
+    rng = np.random.default_rng(seed)
+    B, P = int(num_frames), int(points_per_frame)
+
+    R_bc = _roty(np.pi / 2) @ _rotz(-np.pi / 2)
+    base_to_camera = _T(R_bc, np.array([0.1, 0.05, 0.3]))
+    T_cb = np.linalg.inv(base_to_camera)
+
+    # Points in the base1 frame, in front of the camera (+x of base).
+    pts = np.stack(
+        [
+            rng.uniform(3, 10, (B, P)),
+            rng.uniform(-3, 3, (B, P)),
+            rng.uniform(-1, 2, (B, P)),
+        ],
+        axis=-1,
+    )
+
+    theta = np.stack(
+        [
+            rng.uniform(-0.4, 0.4, B),
+            rng.uniform(-0.4, 0.4, B),
+            rng.uniform(-0.25, 0.25, B),
+        ],
+        axis=-1,
+    )
+    c, s = np.cos(theta[:, 2]), np.sin(theta[:, 2])
+    T_b2b1 = np.tile(np.eye(4), (B, 1, 1))
+    T_b2b1[:, 0, 0], T_b2b1[:, 0, 1] = c, -s
+    T_b2b1[:, 1, 0], T_b2b1[:, 1, 1] = s, c
+    T_b2b1[:, :2, 3] = theta[:, :2]
+
+    T_c2b1 = np.einsum("ij,bjk->bik", T_cb, T_b2b1)
+    loc_l = (
+        np.einsum("bij,bpj->bpi", T_c2b1[:, :3, :3], pts)
+        + T_c2b1[:, None, :3, 3]
+    )
+
+    def proj(loc):
+        inv_z = 1.0 / loc[..., 2]
+        return np.stack(
+            [fx * loc[..., 0] * inv_z + cx, fy * loc[..., 1] * inv_z + cy],
+            axis=-1,
+        )
+
+    pix_l = proj(loc_l)
+    if pixel_noise > 0:
+        pix_l = pix_l + rng.normal(0.0, pixel_noise, pix_l.shape)
+
+    pix_r, T_lr = None, None
+    if stereo:
+        T_lr = np.eye(4)
+        T_lr[0, 3] = baseline
+        T_rl = np.linalg.inv(T_lr)
+        loc_r = loc_l @ T_rl[:3, :3].T + T_rl[:3, 3]
+        pix_r = proj(loc_r)
+        if pixel_noise > 0:
+            pix_r = pix_r + rng.normal(0.0, pixel_noise, pix_r.shape)
+        drop = rng.uniform(size=(B, P)) < drop_right_frac
+        pix_r[drop] = -1.0
+
+    T_wc_true = np.einsum(
+        "bij,jk->bik", np.linalg.inv(T_b2b1), base_to_camera
+    )
+    return BatchedPlanarPoseOnlyProblem(
+        points=pts,
+        pixels_left=pix_l,
+        pixels_right=pix_r,
+        intrinsics=np.array([fx, fy, cx, cy]),
+        base_to_camera=base_to_camera,
+        pose_left_to_right=T_lr,
+        poses_world_to_last=np.tile(base_to_camera, (B, 1, 1)),
+        poses_world_to_current_init=np.tile(base_to_camera, (B, 1, 1)),
+        poses_world_to_current_true=T_wc_true,
+        theta_true=theta,
+    )

@@ -636,3 +636,104 @@ class TestPMTimedIterations:
         infos = sum_timed.optimization_info_list
         assert len(infos) == len(sum_plain.optimization_info_list)
         assert all(oi.iter_time > 0.0 for oi in infos)
+
+
+class TestSchurJacobiPrecond:
+    """The Schur-Jacobi preconditioner columns fused into the assembly
+    scatter (ops/pallas/full_ba_pm.py A-panel [33:54)) and the CG policy
+    knobs built on them (Options.cg_precond / cg_forcing / cg_warm_start).
+    Replaces the reduced solve the reference does densely
+    (core/full_bundle_adjustment_solver.cpp:890-908)."""
+
+    def test_schur_diag_parity_dense(self):
+        """Kernel Schur-diag == dense per-pose diag of B Cinv B^T."""
+        problem, shape = _small_problem()
+        res = pm_from_finalized(problem, shape, block_points=64)
+        assert res is not None
+        pm, pshape = res
+        huber = 1.0 * shape.scale
+        lam = jnp.float32(2.0)
+
+        sys, _ = _reference_system(problem, shape, lam, huber)
+        B = H.dense_coupling(
+            sys.U, problem.obs_pose_opt, problem.obs_point_opt,
+            shape.num_opt_poses, shape.num_opt_points,
+        )  # (N_opt, 6, M_opt, 3)
+        BC = jnp.einsum("jaib,ibc->jaic", B, sys.Cinv)
+        corr = jnp.einsum("jaic,jbic->jab", BC, B)  # exact Schur-diag corr
+        expected = np.asarray(sys.A - corr)  # sys.A is damped
+
+        flat, _, _ = K.assemble_pm_partials(
+            pm, pshape, problem.R_cw, problem.t_cw, pm.X, problem.rig,
+            lam, huber, interpret=True,
+        )
+        got = np.asarray(K._tri_to_full(K.schur_precond_tri(flat, lam)))
+        # hi/lo bf16-pair scatter precision (~2^-16 relative).
+        np.testing.assert_allclose(got, expected, rtol=3e-4, atol=2e-3)
+
+    def test_schur_precond_cuts_cg_iterations(self):
+        """On the same reduced system, Schur-Jacobi PCG must not need more
+        iterations than block-Jacobi-on-A PCG to hit a tight tolerance."""
+        problem, shape = _small_problem()
+        huber = 1.0 * shape.scale
+        sys, _ = _reference_system(problem, shape, jnp.float32(1e-3), huber)
+        args = (problem.obs_pose_opt, problem.obs_point_opt,
+                shape.num_opt_poses, shape.num_opt_points)
+        rhs = H.schur_rhs(sys, *args)
+        matvec = lambda v: H.schur_matvec(sys, *args, v)
+
+        pj = H.inverse_6x6(sys.A)
+        corr = H.schur_diag_correction(sys, *args)
+        psj = H.inverse_6x6(sys.A - corr)
+        _, _, it_j = H.block_pcg(matvec, rhs, pj, 200, 1e-10)
+        _, _, it_sj = H.block_pcg(matvec, rhs, psj, 200, 1e-10)
+        assert int(it_sj) <= int(it_j)
+        assert int(it_sj) < 200
+
+    def test_ew_forcing_and_warm_start_converge(self):
+        """Adaptive-CG + warm-start solves reach the same solution as the
+        fixed tight-CG solve, in fewer total CG iterations."""
+        problem, shape = _small_problem()
+        base = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(10),
+            reduced_system="cg",
+            cg_max_iterations=40,
+            cg_tolerance=1e-12,
+        )
+        s_ref, _ = solve_pm(problem, shape, base)
+        s_ada, sum_ada = solve_pm(
+            problem, shape,
+            base.replace(cg_forcing="ew", cg_warm_start=True),
+        )
+        assert float(s_ada.final_rmse_px) < max(
+            2.0 * float(s_ref.final_rmse_px), 0.05
+        )
+        cg_ada = [oi.cg_iterations for oi in sum_ada.optimization_info_list]
+        assert all(c >= 1 for c in cg_ada)
+        # The forcing sequence must actually terminate CG early somewhere.
+        assert min(cg_ada) < 40
+
+    def test_obs_table_schur_jacobi_matches_default(self):
+        """The observation-table engine with the per-observation Schur
+        correction converges to the same solution."""
+        problem, shape = _small_problem()
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(1e-8, 1e-8),
+            iteration_handle=IterationHandle(12),
+            reduced_system="cg",
+            cg_max_iterations=40,
+            cg_tolerance=1e-12,
+        )
+        st_sj, sum_sj = full_ba.solve(problem, shape, opts)
+        st_j, _ = full_ba.solve(
+            problem, shape, opts.replace(cg_precond="jacobi")
+        )
+        np.testing.assert_allclose(
+            float(st_sj.final_cost), float(st_j.final_cost), rtol=1e-4
+        )
+        assert all(
+            oi.cg_iterations >= 1 for oi in sum_sj.optimization_info_list
+        )

@@ -537,3 +537,62 @@ class TestChunkedIterTimes:
         assert all(
             oi.iter_time > 0.0 for oi in sum_c.optimization_info_list
         )
+
+
+class TestPlanarFusedKernel:
+    """Interpret-mode parity of the fused single-frame planar-3-DoF kernels
+    (ops/pallas/pose_only_gn.py planar variants) against the XLA path --
+    the last reference entry point to gain a fused TPU path
+    (core/pose_only_bundle_adjustment_solver.cpp:401-615, 617-900)."""
+
+    def _problem(self, stereo=False):
+        return TestPlanar3Dof()._make_problem(n=2000, seed=11, stereo=stereo)
+
+    def test_mono_planar_fused_matches_xla(self):
+        p = self._problem()
+        opts = make_options(max_iter=50)
+        args = (
+            p["points"], p["pixels"], p["intrinsics"], p["base_to_camera"],
+            p["T_wlast"], p["T_wc_init"],
+        )
+        pose_x, mask_x, sum_x, ok_x = pose_only.solve_monocular_planar3dof(
+            *args, opts.replace(pallas="never")
+        )
+        pose_p, mask_p, sum_p, ok_p = pose_only.solve_monocular_planar3dof(
+            *args, opts.replace(pallas="interpret")
+        )
+        assert ok_x and ok_p
+        np.testing.assert_allclose(
+            np.asarray(pose_p), np.asarray(pose_x), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(mask_p), np.asarray(mask_x))
+        rot_err, trans_err = _pose_error(pose_p, p["T_wc_true"])
+        assert rot_err < 1e-3 and trans_err < 1e-3
+
+    def test_stereo_planar_fused_matches_xla(self):
+        p = self._problem(stereo=True)
+        # Drop some right matches to exercise the right-validity plane.
+        pix_r = p["pixels_right"].copy()
+        pix_r[::7] = -1.0
+        opts = make_options(max_iter=50)
+        args = (
+            p["points"], p["pixels"], pix_r, p["intrinsics"],
+            p["intrinsics"], p["base_to_camera"], p["T_lr"], p["T_wlast"],
+            p["T_wc_init"],
+        )
+        out_x = pose_only.solve_stereo_planar3dof(
+            *args, opts.replace(pallas="never")
+        )
+        out_p = pose_only.solve_stereo_planar3dof(
+            *args, opts.replace(pallas="interpret")
+        )
+        pose_x, ml_x, mr_x, _, ok_x = out_x
+        pose_p, ml_p, mr_p, _, ok_p = out_p
+        assert ok_x and ok_p
+        np.testing.assert_allclose(
+            np.asarray(pose_p), np.asarray(pose_x), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(ml_p), np.asarray(ml_x))
+        np.testing.assert_array_equal(np.asarray(mr_p), np.asarray(mr_x))
+        rot_err, trans_err = _pose_error(pose_p, p["T_wc_true"])
+        assert rot_err < 1e-3 and trans_err < 1e-3
