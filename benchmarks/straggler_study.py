@@ -111,6 +111,38 @@ def main():
     per_iter_ms = wall_real * 1e3 / T_last
     savable_ms = wall_real * 1e3 * (1.0 - perfect_fraction)
 
+    # Compacting driver on the same batch: retires converged frames every
+    # check_every iterations and re-packs stragglers into shrinking
+    # buckets. Wall time includes the per-segment dispatch+fetch cost
+    # (~40-85 ms through the tunnel), so on this rig it measures the
+    # BREAK-EVEN, not the directly-attached win; the pass-count reduction
+    # is the hardware-independent quantity.
+    def run_compacting():
+        res = pose_only.solve_stereo_6dof_batched_compacting(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, o_real,
+            check_every=10, min_bucket=64,
+        )
+        return res
+
+    res_c = run_compacting()  # compile buckets + warm
+    t0 = time.perf_counter()
+    res_c = run_compacting()
+    wall_compact = time.perf_counter() - t0
+    T_c = np.asarray(res_c.num_iterations).astype(int)
+    # Lane-passes actually paid by the compacting driver: each segment runs
+    # bucket_size frames for <= check_every iterations; reconstruct from
+    # the retirement schedule implied by T_f (bucket shrinks after each
+    # 10-iteration boundary).
+    passes = 0
+    active = B
+    for k in range(0, T_last, 10):
+        bucket = max(64, 1 << int(np.ceil(np.log2(max(active, 1)))))
+        seg_len = min(10, T_last - k)
+        passes += min(bucket, B) * seg_len
+        active = int((T_f > k + seg_len).sum())
+        if active == 0:
+            break
+
     out = {
         "batch": {"frames": B, "points_per_frame": P,
                   "pixel_noise": 0.4, "threshold": 1e-5},
@@ -129,6 +161,18 @@ def main():
         "per_lockstep_iter_ms": round(per_iter_ms, 3),
         "savable_kernel_ms_upper_bound": round(savable_ms, 1),
         "tunnel_dispatch_cost_ms": "40-85 per re-pack (CLAUDE.md)",
+        "compacting_driver": {
+            "wall_s": round(wall_compact, 4),
+            "converged_frames": int(np.asarray(res_c.converged).sum()),
+            "lane_pass_fraction_vs_lockstep": round(
+                passes / (B * T_last), 4
+            ),
+            "note": (
+                "wall includes per-segment dispatch+fetch through the "
+                "tunnel; the pass fraction is the hardware-independent "
+                "kernel-work reduction"
+            ),
+        },
     }
     print(json.dumps(out, indent=1))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -55,7 +55,12 @@ from ...models.layout import PMShape, PointMajorProblem
 
 _HI = jax.lax.Precision.HIGHEST
 
-A_COLS = 64  # 21 tri A + 6 grad a + 6 rhs-corr + 21 tri Schur-diag, padded
+A_COLS = 40  # 21 upper-tri A + 6 gradient a + 6 rhs-corr (B Cinv b), padded
+# With emit_schur=True the panel widens to carry the 21 upper-tri
+# Schur-diagonal correction columns too (the Schur-Jacobi preconditioner
+# by-product; measured +0.9 ms/LM-iter of scatter at the 10k/1M flagship,
+# so it is emitted only when Options.cg_precond requests it).
+A_COLS_SCHUR = 64
 COST_COLS = 8  # [sum ||r||, sum w r^2, sum r^2, valid count]
 
 # Upper-triangle (a <= b) index pairs for the 6x6 pose block, row-major.
@@ -290,9 +295,9 @@ def _inverse_sym3(c, det_floor=1e-30):
     return [i00, i01, i02, i11, i12, i22]
 
 
-def _assemble_kernel(shape: PMShape, big: bool, gbase_ref, sbase_ref,
-                     pose_tbl_ref, cam_ref, scal_ref, obs_ref, spose_ref,
-                     sopt_ref, X_ref, U_ref, Cb_ref, Apan_ref,
+def _assemble_kernel(shape: PMShape, big: bool, emit_schur: bool, gbase_ref,
+                     sbase_ref, pose_tbl_ref, cam_ref, scal_ref, obs_ref,
+                     spose_ref, sopt_ref, X_ref, U_ref, Cb_ref, Apan_ref,
                      scratch_ref=None, sem=None):
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     i = pl.program_id(0)
@@ -396,36 +401,40 @@ def _assemble_kernel(shape: PMShape, big: bool, gbase_ref, sbase_ref,
         for a_ in range(6)
     ]
 
-    # Schur-Jacobi preconditioner by-product: per-slot U Cinv U^T, the
-    # landmark-sum of which is EXACTLY the Schur-diagonal correction
-    # sum_i B_ji Cinv_i B_ji^T for pose j, because each slot is a unique
-    # (pose, landmark) pair (models/layout.py groups a pair's rig cameras
-    # into one slot). Fused here where U and Cinv are already in registers:
-    # a separate pass would re-read the 18 U planes -- the dominant DMA.
-    # Only 3 W planes (row a of U Cinv) are live at a time.
+    # Schur-Jacobi preconditioner by-product (emit_schur only): per-slot
+    # U Cinv U^T, the landmark-sum of which is EXACTLY the Schur-diagonal
+    # correction sum_i B_ji Cinv_i B_ji^T for pose j, because each slot is
+    # a unique (pose, landmark) pair (models/layout.py groups a pair's rig
+    # cameras into one slot). Fused here where U and Cinv are already in
+    # registers: a separate pass would re-read the 18 U planes -- the
+    # dominant DMA. Only 3 W planes (row a of U Cinv) are live at a time.
     schur_rows = []
-    for a_ in range(6):
-        ua0, ua1, ua2 = Um[a_ * 3], Um[a_ * 3 + 1], Um[a_ * 3 + 2]
-        wa0 = ua0 * Cinv[0] + ua1 * Cinv[1] + ua2 * Cinv[2]
-        wa1 = ua0 * Cinv[1] + ua1 * Cinv[3] + ua2 * Cinv[4]
-        wa2 = ua0 * Cinv[2] + ua1 * Cinv[4] + ua2 * Cinv[5]
-        for b_ in range(a_, 6):
-            schur_rows.append(
-                wa0 * Um[b_ * 3] + wa1 * Um[b_ * 3 + 1] + wa2 * Um[b_ * 3 + 2]
-            )
+    if emit_schur:
+        for a_ in range(6):
+            ua0, ua1, ua2 = Um[a_ * 3], Um[a_ * 3 + 1], Um[a_ * 3 + 2]
+            wa0 = ua0 * Cinv[0] + ua1 * Cinv[1] + ua2 * Cinv[2]
+            wa1 = ua0 * Cinv[1] + ua1 * Cinv[3] + ua2 * Cinv[4]
+            wa2 = ua0 * Cinv[2] + ua1 * Cinv[4] + ua2 * Cinv[5]
+            for b_ in range(a_, 6):
+                schur_rows.append(
+                    wa0 * Um[b_ * 3] + wa1 * Um[b_ * 3 + 1]
+                    + wa2 * Um[b_ * 3 + 2]
+                )
 
     # Pose-system panel: windowed one-hot MXU scatter, chunked over P.
     # Columns [0:21) upper-tri A, [21:27) gradient a, [27:33) B Cinv b,
-    # [33:54) upper-tri Schur-diagonal correction.
+    # [33:54) upper-tri Schur-diagonal correction (emit_schur only).
+    cols = A_COLS_SCHUR if emit_schur else A_COLS
+    used = 33 + len(schur_rows)
     idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
         + [rhs_rows[a_].reshape(1, Kp * bm) for a_ in range(6)]
-        + [schur_rows[n_].reshape(1, Kp * bm) for n_ in range(21)]
-        + [jnp.zeros((A_COLS - 54, Kp * bm), jnp.float32)],
+        + [schur_rows[n_].reshape(1, Kp * bm) for n_ in range(len(schur_rows))]
+        + [jnp.zeros((cols - used, Kp * bm), jnp.float32)],
         axis=0,
-    )  # (A_COLS, Kp*bm)
+    )  # (cols, Kp*bm)
     _scatter_window_hilo(Apan_ref, P, idx_s, contrib)
 
 
@@ -604,16 +613,19 @@ def _tri_to_full(Atri):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shape", "interpret", "u_dtype")
+    jax.jit, static_argnames=("shape", "interpret", "u_dtype", "emit_schur")
 )
 def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
                          X, rig, lam, huber, interpret: bool = False,
-                         u_dtype: str = "float32"):
+                         u_dtype: str = "float32",
+                         emit_schur: bool = False):
     """Run the fused assembly kernel, returning the pose system as flat
     per-shard partials (for a psum in distributed mode).
 
     Returns (flat, Cb, U):
-      flat (n_opt, A_COLS): [0:21) undamped upper-tri A, [21:27) gradient a,
+      flat (n_opt, A_COLS or A_COLS_SCHUR): [0:21) undamped upper-tri A,
+      [21:27) gradient a, [27:33) B Cinv b, and with emit_schur=True
+      [33:54) the Schur-diagonal correction (schur_precond_tri input),
       Cb (16, Mp) point-block planes (damped, local to this shard's points),
       U (18, Kp, Mp) coupling planes in `u_dtype` ("bfloat16" halves the
       matvec's U traffic for DMA-bound problems at a slightly higher
@@ -621,6 +633,7 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
     """
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     Mp, nblocks = shape.padded_points, shape.num_blocks
+    cols = A_COLS_SCHUR if emit_schur else A_COLS
     pose_tbl = _pose_table(R_cw, t_cw, P)
     cam_tbl = _cam_table(rig)
     scal = jnp.stack([lam, jnp.asarray(huber, jnp.float32)]).reshape(1, 2)
@@ -655,23 +668,23 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
                          memory_space=pltpu.VMEM),  # U
             pl.BlockSpec((16, bm), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # Cb
-            pl.BlockSpec((1, P, A_COLS), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, P, cols), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # A panels
         ],
     )
     U, Cb, Apan = pl.pallas_call(
-        functools.partial(_assemble_kernel, shape, big),
+        functools.partial(_assemble_kernel, shape, big, emit_schur),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((18, Kp, Mp), jnp.dtype(u_dtype)),
             jax.ShapeDtypeStruct((16, Mp), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, P, A_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, P, cols), jnp.float32),
         ],
         interpret=interpret,
     )(pm.gbase, pm.sbase, pose_tbl, cam_tbl, scal, pm.obs_f32, pm.slot_pose,
       pm.slot_opt, X)
 
-    flat = _second_level(Apan, pm.sbase, shape.num_opt_poses, P, A_COLS)
+    flat = _second_level(Apan, pm.sbase, shape.num_opt_poses, P, cols)
     return flat, Cb, U
 
 
@@ -705,6 +718,11 @@ def schur_precond_tri(flat, lam):
     """
     from ...ops.sym6 import tri6_damp
 
+    if flat.shape[1] < 54:
+        raise ValueError(
+            "flat has no Schur-diagonal columns; call assemble_pm_partials "
+            "with emit_schur=True"
+        )
     return tri6_damp(flat[:, :21], lam) - flat[:, 33:54]
 
 

@@ -86,13 +86,16 @@ class Options:
     reduced_system: str = "auto"  # 'dense' | 'cg' | 'pm' | 'auto'
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-8
-    # Preconditioner of the reduced-system CG. 'schur_jacobi' (default) uses
-    # the diagonal blocks of the exact Schur complement S = A - B Cinv B^T
-    # (a free by-product of the fused assembly kernel in the point-major
-    # engine; one extra observation pass in the observation-table engine) --
-    # measured ~2x fewer CG iterations than 'jacobi' (block-diagonal of the
-    # damped A alone) on the 10k-pose flagship.
-    cg_precond: str = "schur_jacobi"  # 'schur_jacobi' | 'jacobi'
+    # Preconditioner of the reduced-system CG. 'jacobi' (default) is the
+    # block-diagonal of the damped A; 'schur_jacobi' uses the diagonal
+    # blocks of the exact Schur complement S = A - B Cinv B^T (fused into
+    # the assembly kernel's scatter in the point-major engine; one extra
+    # observation pass in the observation-table engine). Measured on the
+    # 10k/1M corridor flagship (PERF.md round 3): iteration-NEUTRAL (each
+    # landmark is shared by `window` poses, so diag(S) ~ diag(A)) at
+    # +0.9 ms/LM-iteration of scatter -- hence not the default; prefer it
+    # on low-covisibility problems where the correction approaches A_jj.
+    cg_precond: str = "jacobi"  # 'jacobi' | 'schur_jacobi'
     # Inner-CG termination. 'fixed' uses cg_tolerance as a constant relative
     # ||r||^2 / ||rhs||^2 threshold (plus the cg_max_iterations cap);
     # 'ew' derives the tolerance per LM iteration with an Eisenstat-Walker
@@ -124,15 +127,20 @@ class Options:
     # profitable, XLA elsewhere) | 'never' | 'always' | 'interpret' (CPU
     # debugging).
     pallas: str = "auto"
-    # Reporting mode: dispatch the LM/GN loop one iteration at a time so
-    # the host can wall-clock each iteration (the reference's per-iteration
-    # `iter_time`, full cpp:981-992 / pose_only cpp:126, printed by
-    # BriefReport). Supported by the observation-table engine, the
-    # point-major Pallas engine, and all four pose-only solvers. Costs one
-    # dispatch+fetch round trip per iteration -- for production solves
-    # leave False (the loop then runs entirely on device and iter_time
-    # prints -1 like the reference with a null summary).
-    time_iterations: bool = False
+    # Reporting mode for the reference's per-iteration `iter_time` (full
+    # cpp:981-992 / pose_only cpp:126, printed by BriefReport):
+    #   True     -- dispatch the loop one iteration at a time and wall-clock
+    #               each dispatch (obs-table, point-major, and all four
+    #               pose-only solvers). Through a dispatch tunnel this
+    #               includes ~40-85 ms of per-dispatch overhead.
+    #   "device" -- (point-major engine) run the whole solve in ONE
+    #               dispatch under a profiler trace and report true DEVICE
+    #               time per LM iteration, derived from the gaps between
+    #               consecutive assembly-kernel starts on the TPU plane --
+    #               accurate even through the tunnel.
+    #   False    -- production mode: whole loop on device, iter_time -1
+    #               like the reference with a null summary.
+    time_iterations: bool | str = False
     # Record per-iteration info rows and the debug-pose trace (pose-only
     # solvers). False mirrors the reference's `summary == nullptr` mode
     # (pose_only cpp:128-147: no OptimizationInfo is pushed): history

@@ -86,20 +86,22 @@ def pm_in_specs() -> PointMajorProblem:
 
 
 def comm_volume_model(
-    num_opt_poses: int, cg_iterations: int, dtype_bytes: int = 4
+    num_opt_poses: int, cg_iterations: int, dtype_bytes: int = 4,
+    emit_schur: bool = False,
 ) -> dict:
     """Per-LM-iteration all-reduce (psum) volume of the sharded PM engine,
     as machine-readable bytes (the prose model in the module docstring).
 
     Counted from the `_psum` call sites in `_device_program`:
-      - assembly panel (N_opt, A_COLS=64, incl. the fused Schur-Jacobi
+      - assembly panel (N_opt, 40 cols; 64 with the fused Schur-Jacobi
         preconditioner columns): once per LM iteration;
       - matvec pose-correction (N_opt, 6): once per CG iteration;
       - scalars (candidate cost, predicted point decrease, point step norm):
         three per LM iteration (plus once-per-solve n_params/RMSE scalars,
         excluded here).
     """
-    assembly = num_opt_poses * K.A_COLS * dtype_bytes
+    cols = K.A_COLS_SCHUR if emit_schur else K.A_COLS
+    assembly = num_opt_poses * cols * dtype_bytes
     per_cg = num_opt_poses * 6 * dtype_bytes
     scalars = 3 * dtype_bytes
     return {
@@ -241,6 +243,7 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             pm_local, shape, R_cw, t_cw, X, rig, lam_eff, huber,
             interpret=interpret,
             u_dtype=getattr(opts, "coupling_dtype", "float32"),
+            emit_schur=use_schur,
         )
         flat_g = _psum(flat)
         Atri, a, rhs = K.finish_pose_system_tri(flat_g, lam_eff)

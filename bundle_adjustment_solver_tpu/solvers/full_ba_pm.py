@@ -261,7 +261,7 @@ def _pm_loop_pieces(
         lam_eff = c.lam if is_lm else jnp.asarray(_GN_LAMBDA, dtype)
         flat, Cb, U = K.assemble_pm_partials(
             pm, shape, c.R_cw, c.t_cw, c.X, rig, lam_eff, huber,
-            interpret=interpret, u_dtype=u_dtype,
+            interpret=interpret, u_dtype=u_dtype, emit_schur=use_schur,
         )
         Atri, a, rhs = K.finish_pose_system_tri(flat, lam_eff)
 
@@ -518,7 +518,33 @@ def solve_pm(
 
     iter_times_ms = None
     t0 = time.perf_counter()
-    if getattr(options, "time_iterations", False):
+    if getattr(options, "time_iterations", False) == "device":
+        # Device-clock reporting (VERDICT r2 task 9): run the whole solve
+        # in ONE dispatch under a profiler trace and derive per-iteration
+        # times from the gaps between consecutive assembly-kernel starts
+        # on the TPU plane. Unlike the chunked mode below, the reported
+        # iter_time is true device time even through a dispatch tunnel
+        # (where per-dispatch wall timing adds ~40-85 ms of overhead).
+        import shutil
+        import tempfile
+
+        from ..utils.profiling import device_iteration_times_ms
+
+        args = (pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+                problem.opt_pose_idx, options)
+        out = _solve_pm_jax(*args, interpret=interpret)  # compile + warm
+        float(np.asarray(out[7]))
+        trace_dir = tempfile.mkdtemp(prefix="ba_iter_trace_")
+        t0 = time.perf_counter()
+        try:
+            with jax.profiler.trace(trace_dir):
+                out = _solve_pm_jax(*args, interpret=interpret)
+                float(np.asarray(out[7]))  # sync inside the trace
+            times = device_iteration_times_ms(trace_dir)
+        finally:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+        iter_times_ms = np.asarray(times) if times else None
+    elif getattr(options, "time_iterations", False):
         # Chunked-dispatch reporting mode (reference iter_time parity,
         # full cpp:981-992), one jit step per LM iteration.
         max_iter = options.iteration_handle.max_num_iterations

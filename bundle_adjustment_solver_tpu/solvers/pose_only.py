@@ -58,7 +58,7 @@ from ..ops.projection import (
     pose_only_jacobian_planar3dof,
     residual_and_weight,
 )
-from ..options import IterationStatus, Options
+from ..options import IterationHandle, IterationStatus, Options
 from ..summary import (
     INFO_ABS_GRADIENT,
     INFO_ABS_STEP,
@@ -1592,6 +1592,139 @@ def solve_stereo_6dof_batched(
         pose_left_to_right,
         poses,
         options,
+    )
+
+
+def solve_stereo_6dof_batched_compacting(
+    points,
+    pixels_left,
+    pixels_right,
+    valid,
+    intrinsics_left,
+    intrinsics_right,
+    pose_left_to_right,
+    poses,
+    options: Options,
+    check_every: int = 8,
+    min_bucket: int = 64,
+) -> PoseOnlyResult:
+    """Batched stereo 6-DoF with periodic STRAGGLER COMPACTION.
+
+    The lockstep batched loop pays a full kernel pass for every frame until
+    the LAST frame converges; on a realistic mixed-difficulty batch the
+    measured waste is severe (benchmarks/straggler_study.json: p50 = 5
+    iterations but one runaway frame pins the loop at max_iter, 94.7% of
+    lane-passes wasted). This driver runs the fused batched solver in
+    `check_every`-iteration segments; between segments it fetches the
+    per-frame convergence mask, retires finished frames, and re-packs the
+    survivors into the smallest power-of-two bucket >= `min_bucket` (a lane
+    gather -- the layout is frame-per-lane), so stragglers iterate in a
+    shrunken batch.
+
+    Cost model: each segment boundary costs one dispatch + mask fetch
+    (~40-85 ms through a device tunnel, ~0.1 ms directly attached) against
+    kernel savings of (retired_frames / batch) x segment kernel time --
+    profitable on directly-attached hardware or large batches, break-even
+    at the 2048 x 256 scale through the tunnel (documented in PERF.md).
+
+    Semantics vs the lockstep solver: identical GN trajectory per frame
+    (the update is memoryless), except that `err_prev` resets at segment
+    boundaries, so a frame converging by the COST-CHANGE criterion exactly
+    at a boundary may run up to one extra segment; the step-size criterion
+    is unaffected. Requires record_history=False (the reference's
+    summary == nullptr mode) and the shared-rig fused path.
+    """
+    if getattr(options, "record_history", True):
+        raise ValueError(
+            "compacting driver requires Options.record_history=False"
+        )
+    B, P = points.shape[0], points.shape[1]
+    total_max = options.iteration_handle.max_num_iterations
+    points = jnp.asarray(points)
+    pixels_left = jnp.asarray(pixels_left)
+    pixels_right = jnp.asarray(pixels_right)
+    valid = jnp.asarray(valid)
+    poses_cur = jnp.asarray(poses)
+
+    import numpy as onp
+
+    out_pose = onp.zeros((B, 4, 4), onp.float32)
+    out_mask_l = onp.zeros((B, P), bool)
+    out_mask_r = onp.zeros((B, P), bool)
+    out_succ = onp.zeros(B, bool)
+    out_conv = onp.zeros(B, bool)
+    out_iters = onp.zeros(B, onp.int32)
+
+    def bucket_of(n):
+        b = min_bucket
+        while b < n:
+            b *= 2
+        return min(b, B)
+
+    active = onp.arange(B)
+    cur = (points, pixels_left, pixels_right, valid, poses_cur)
+    used = 0
+    while used < total_max and active.size:
+        seg = min(check_every, total_max - used)
+        o = options.replace(iteration_handle=IterationHandle(seg))
+        res = solve_stereo_6dof_batched(
+            cur[0], cur[1], cur[2], cur[3],
+            intrinsics_left, intrinsics_right, pose_left_to_right,
+            cur[4], o,
+        )
+        nb = cur[0].shape[0]
+        live = onp.arange(active.size)  # rows of this bucket that are real
+        conv_seg = onp.asarray(res.converged)[:nb][: active.size]
+        it_seg = onp.asarray(res.num_iterations)[:nb][: active.size]
+        used += seg
+        out_iters[active] += it_seg.astype(onp.int32)
+        finished = conv_seg | (used >= total_max)
+
+        fin_rows = live[finished]
+        if fin_rows.size:
+            fin_ids = active[finished]
+            out_pose[fin_ids] = onp.asarray(res.pose)[fin_rows]
+            out_mask_l[fin_ids] = onp.asarray(res.mask_inlier)[fin_rows]
+            out_mask_r[fin_ids] = onp.asarray(res.mask_inlier_right)[fin_rows]
+            out_succ[fin_ids] = onp.asarray(res.success)[fin_rows]
+            out_conv[fin_ids] = conv_seg[finished]
+
+        keep_rows = live[~finished]
+        active = active[~finished]
+        if not active.size:
+            break
+        nb_new = bucket_of(active.size)
+        # Re-pack survivors to the head of a (possibly smaller) bucket.
+        # Padding rows replicate row 0 with valid=False: they converge on
+        # their first iteration (zero system -> zero step) and never gate
+        # the lockstep loop.
+        pad = nb_new - active.size
+        idx = jnp.asarray(
+            onp.concatenate([keep_rows, onp.zeros(pad, onp.int64)])
+        )
+        new_valid = jnp.take(cur[3], idx, axis=0)
+        if pad:
+            new_valid = new_valid.at[active.size:].set(False)
+        cur = (
+            jnp.take(cur[0], idx, axis=0),
+            jnp.take(cur[1], idx, axis=0),
+            jnp.take(cur[2], idx, axis=0),
+            new_valid,
+            jnp.take(res.pose, idx, axis=0),
+        )
+
+    hist = 1
+    return PoseOnlyResult(
+        pose=jnp.asarray(out_pose),
+        mask_inlier=jnp.asarray(out_mask_l),
+        mask_inlier_right=jnp.asarray(out_mask_r),
+        success=jnp.asarray(out_succ),
+        converged=jnp.asarray(out_conv),
+        num_iterations=jnp.asarray(out_iters),
+        info=jnp.zeros((B, hist, INFO_NUM_COLS), jnp.float32),
+        num_info=jnp.zeros(B, jnp.int32),
+        debug_poses=jnp.zeros((B, hist, 4, 4), jnp.float32),
+        num_debug=jnp.zeros(B, jnp.int32),
     )
 
 

@@ -665,7 +665,7 @@ class TestSchurJacobiPrecond:
 
         flat, _, _ = K.assemble_pm_partials(
             pm, pshape, problem.R_cw, problem.t_cw, pm.X, problem.rig,
-            lam, huber, interpret=True,
+            lam, huber, interpret=True, emit_schur=True,
         )
         got = np.asarray(K._tri_to_full(K.schur_precond_tri(flat, lam)))
         # hi/lo bf16-pair scatter precision (~2^-16 relative).
@@ -727,7 +727,9 @@ class TestSchurJacobiPrecond:
             cg_max_iterations=40,
             cg_tolerance=1e-12,
         )
-        st_sj, sum_sj = full_ba.solve(problem, shape, opts)
+        st_sj, sum_sj = full_ba.solve(
+            problem, shape, opts.replace(cg_precond="schur_jacobi")
+        )
         st_j, _ = full_ba.solve(
             problem, shape, opts.replace(cg_precond="jacobi")
         )
@@ -737,3 +739,28 @@ class TestSchurJacobiPrecond:
         assert all(
             oi.cg_iterations >= 1 for oi in sum_sj.optimization_info_list
         )
+
+
+def test_time_iterations_device_mode_cpu_fallback():
+    """time_iterations='device' must solve identically; on CPU there is no
+    TPU plane so iter_time falls back to -1 (the trace-derived times are
+    asserted on real hardware in the verify drive, not here)."""
+    from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+
+    problem, shape = _small_problem()
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(1e-8, 1e-8),
+        iteration_handle=IterationHandle(8),
+        reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-10,
+    )
+    s_plain, _ = full_ba_pm.solve_pm(problem, shape, opts)
+    s_dev, sum_dev = full_ba_pm.solve_pm(
+        problem, shape, opts.replace(time_iterations="device")
+    )
+    np.testing.assert_allclose(
+        float(s_dev.final_cost), float(s_plain.final_cost), rtol=1e-6
+    )
+    assert all(
+        oi.iter_time == -1.0 for oi in sum_dev.optimization_info_list
+    )

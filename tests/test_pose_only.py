@@ -596,3 +596,59 @@ class TestPlanarFusedKernel:
         np.testing.assert_array_equal(np.asarray(mr_p), np.asarray(mr_x))
         rot_err, trans_err = _pose_error(pose_p, p["T_wc_true"])
         assert rot_err < 1e-3 and trans_err < 1e-3
+
+
+class TestCompactingBatched:
+    """Straggler compaction driver (solve_stereo_6dof_batched_compacting):
+    must reproduce the plain lockstep solve per frame while retiring
+    converged frames between segments (benchmarks/straggler_study.json
+    measured 94.7% wasted lockstep passes on a mixed-difficulty batch)."""
+
+    def test_matches_lockstep(self):
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            batched_stereo_pose_only_problem,
+        )
+
+        B, P = 24, 64
+        prob = batched_stereo_pose_only_problem(
+            num_frames=B, points_per_frame=P, seed=21, pixel_noise=0.3
+        )
+        pts = jnp.asarray(prob.points, jnp.float32)
+        pixl = jnp.asarray(prob.pixels_left, jnp.float32)
+        pixr = jnp.asarray(prob.pixels_right, jnp.float32)
+        valid = jnp.ones((B, P), bool)
+        intr = jnp.asarray(prob.intrinsics, jnp.float32)
+        T_lr = jnp.asarray(prob.pose_left_to_right, jnp.float32)
+        poses0 = jnp.asarray(prob.poses_initial, jnp.float32)
+        opts = make_options(max_iter=40, thr=1e-6).replace(
+            record_history=False
+        )
+
+        ref = pose_only.solve_stereo_6dof_batched(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, opts
+        )
+        cmp = pose_only.solve_stereo_6dof_batched_compacting(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, opts,
+            check_every=6, min_bucket=4,
+        )
+        assert bool(np.asarray(cmp.converged).all())
+        np.testing.assert_array_equal(
+            np.asarray(cmp.converged), np.asarray(ref.converged)
+        )
+        # Per-frame poses agree with the lockstep trajectory (identical GN
+        # up to the err_prev reset at segment boundaries).
+        np.testing.assert_allclose(
+            np.asarray(cmp.pose), np.asarray(ref.pose), atol=1e-4
+        )
+        # Iteration counts match up to one extra segment per frame.
+        d = np.asarray(cmp.num_iterations) - np.asarray(ref.num_iterations)
+        assert (d >= -1).all() and (d <= 7).all(), d
+
+    def test_requires_history_off(self):
+        with pytest.raises(ValueError):
+            pose_only.solve_stereo_6dof_batched_compacting(
+                jnp.zeros((2, 8, 3)), jnp.zeros((2, 8, 2)),
+                jnp.zeros((2, 8, 2)), jnp.ones((2, 8), bool),
+                jnp.zeros(4), jnp.zeros(4), jnp.eye(4),
+                jnp.tile(jnp.eye(4), (2, 1, 1)), make_options(),
+            )
