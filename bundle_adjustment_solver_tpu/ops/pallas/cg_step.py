@@ -1,0 +1,148 @@
+"""Fused pose-side PCG step for the point-major reduced-system solve.
+
+One Pallas kernel performs the ENTIRE pose-side algebra of a PCG iteration
+on the reduced camera system S x = rhs (the solve the reference does
+directly at core/full_bundle_adjustment_solver.cpp:890-908):
+
+    Sp    = A p - corr            (A in flat tri layout, corr from the
+                                   landmark-side matvec kernel)
+    alpha = rz / (p . Sp)
+    x'    = x + alpha p
+    r'    = r - alpha Sp
+    z     = M^-1 r'               (block-Jacobi / Schur-Jacobi, tri layout)
+    rz'   = r' . z
+    beta  = rz' / rz
+    p'    = z + beta p
+    rr    = r' . r'               (for the termination test)
+
+Round-3 profiling (PERF.md "flagship glue decomposition") measured these as
+~10 separate dispatch-bound XLA fusions of (N, 6)/(N, 21) arrays at ~30 us
+each -- ~0.3 ms per CG iteration of pure launch overhead at N_opt = 10k.
+Fusing them into one single-block VPU kernel removes all of it: the kernel
+reads ~3 MB of VMEM-resident planes and costs ~20 us.
+
+Layout: everything lives in PLANE form -- components along sublanes, poses
+along lanes, `Np` padded to a multiple of 128 -- so each of the 21 triangle
+components of A / M^-1 and the 6 vector components is one contiguous row
+and the sym6 matvec is 36 row-wise multiply-adds on the VPU. `AP` stacks
+the damped-A planes (rows 0:21) over the preconditioner planes (rows 21:42)
+and is built once per LM iteration (both are constant across the CG solve).
+Padded lanes are zero in every operand and provably stay zero through the
+iteration, so the scalar reductions are exact.
+
+The flat (a, b) a<=b component order matches ops/sym6.py (_TRI6) and the
+assembly kernel's scatter panels (ops/pallas/full_ba_pm.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
+_IDX = {ab: n for n, ab in enumerate(_TRI6)}
+
+LANES = 128
+
+
+def padded_poses(n_opt: int) -> int:
+    """Lane-padded pose count for the plane layout."""
+    return ((n_opt + LANES - 1) // LANES) * LANES
+
+
+def _sym6_rows(ref, base, v):
+    """y[a] = sum_b T[(a,b)] * v[b] with T rows at ref[base:base+21].
+
+    `v` is a list of 6 (1, Np) rows; returns the same. Accumulation order
+    (b = 0..5) matches ops/sym6.tri6_matvec for bitwise-comparable sums.
+    """
+    out = []
+    for a in range(6):
+        acc = None
+        for b in range(6):
+            key = (a, b) if a <= b else (b, a)
+            i = base + _IDX[key]
+            term = ref[i:i + 1, :] * v[b]
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out
+
+
+def _dot6(u, v):
+    acc = None
+    for a in range(6):
+        s = jnp.sum(u[a] * v[a])
+        acc = s if acc is None else acc + s
+    return acc
+
+
+def _cg_step_kernel(ap_ref, corr_ref, x_ref, r_ref, p_ref, rz_ref,
+                    xo_ref, ro_ref, po_ref, sc_ref):
+    p = [p_ref[a:a + 1, :] for a in range(6)]
+    Ap = _sym6_rows(ap_ref, 0, p)
+    Sp = [Ap[a] - corr_ref[a:a + 1, :] for a in range(6)]
+    pSp = _dot6(p, Sp)
+    rz = rz_ref[0]
+    alpha = rz / jnp.maximum(pSp, 1e-30)
+    rn = []
+    for a in range(6):
+        xo_ref[a:a + 1, :] = x_ref[a:a + 1, :] + alpha * p[a]
+        ra = r_ref[a:a + 1, :] - alpha * Sp[a]
+        rn.append(ra)
+        ro_ref[a:a + 1, :] = ra
+    z = _sym6_rows(ap_ref, 21, rn)
+    rz_new = _dot6(rn, z)
+    beta = rz_new / jnp.maximum(rz, 1e-30)
+    for a in range(6):
+        po_ref[a:a + 1, :] = z[a] + beta * p[a]
+    sc_ref[0] = alpha
+    sc_ref[1] = rz_new
+    sc_ref[2] = _dot6(rn, rn)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_pose_step(AP, corr, x, r, p, rz, interpret: bool = False):
+    """One fused PCG iteration on the pose planes.
+
+    AP (42, Np) f32: damped-A tri planes stacked over preconditioner tri
+    planes. corr/x/r/p (6, Np) f32. rz: scalar. Returns
+    (x', r', p', alpha, rz', rr)."""
+    Np = AP.shape[1]
+    xo, ro, po, sc = pl.pallas_call(
+        _cg_step_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(AP, corr, x, r, p, jnp.reshape(rz, (1,)).astype(jnp.float32))
+    return xo, ro, po, sc[0], sc[1], sc[2]
+
+
+def to_planes(v, Np):
+    """(n, 6) -> zero-padded (6, Np) plane form."""
+    n = v.shape[0]
+    return jnp.zeros((6, Np), jnp.float32).at[:, :n].set(v.T)
+
+
+def plane_sym6_matvec(T, v):
+    """y = T @ v on planes: T (21, Np) tri components, v (6, Np)."""
+    rows = []
+    for a in range(6):
+        acc = None
+        for b in range(6):
+            key = (a, b) if a <= b else (b, a)
+            term = T[_IDX[key]] * v[b]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows)

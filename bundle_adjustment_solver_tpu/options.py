@@ -110,6 +110,12 @@ class Options:
     # one extra matvec for the initial residual; pays when consecutive
     # reduced systems are similar -- e.g. retries after a rejected step).
     cg_warm_start: bool = False
+    # Fuse the pose-side algebra of each PCG iteration (A p - corr, alpha,
+    # x/r updates, preconditioner apply, beta, p update, ||r||^2) into one
+    # Pallas kernel in the point-major engine (ops/pallas/cg_step.py) --
+    # removes ~10 dispatch-bound XLA fusions (~0.3 ms at N_opt = 10k) per
+    # CG iteration. False falls back to the XLA loop body.
+    cg_fused_step: bool = True
     gd_step_clip: float = 0.001
     # 'reference' reproduces the reference's cost: sum of residual L2 norms
     # (full cpp:427, a quirk -- the quadratic model is in squared units);

@@ -235,6 +235,71 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         )
         return x, t, it
 
+    def pcg_fused(Cb, U, Atri, rhs, precond_tri, tol, x_start):
+        """Same PCG with the pose-side algebra fused into one Pallas kernel
+        per iteration (ops/pallas/cg_step.py; see the single-chip
+        _block_pcg_pm_fused). The pose system is replicated across shards,
+        so the kernel runs identically per device on the psum'd correction;
+        only t = B^T x stays shard-local."""
+        from ..ops.pallas.cg_step import (
+            cg_pose_step,
+            padded_poses,
+            plane_sym6_matvec,
+            to_planes,
+        )
+
+        n_opt = shape.num_opt_poses
+        Np = padded_poses(n_opt)
+        AP = (
+            jnp.zeros((42, Np), jnp.float32)
+            .at[:21, :n_opt].set(Atri.T)
+            .at[21:, :n_opt].set(precond_tri.T)
+        )
+        rhs_pl = to_planes(rhs, Np)
+        rhs_sq = jnp.maximum(jnp.sum(rhs_pl * rhs_pl), 1e-30)
+
+        def corr_planes(x_pl):
+            corr, t = K.matvec_corr_pm(
+                pm_local, shape, Cb, U, x_pl[:, :n_opt].T,
+                interpret=interpret,
+            )
+            return to_planes(_psum(corr), Np), t
+
+        if x_start is None:
+            x0 = jnp.zeros((6, Np), jnp.float32)
+            r0 = rhs_pl
+            t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
+        else:
+            x0 = to_planes(x_start, Np)
+            corr0, t0 = corr_planes(x0)
+            r0 = rhs_pl - (plane_sym6_matvec(AP[:21], x0) - corr0)
+        z0 = plane_sym6_matvec(AP[21:], r0)
+        rz0 = jnp.sum(r0 * z0)
+        rr0 = jnp.sum(r0 * r0)
+
+        def cond(state):
+            _, _, _, _, rr, _, it = state
+            return jnp.logical_and(
+                it < opts.cg_max_iterations, rr > tol * rhs_sq
+            )
+
+        def body(state):
+            x, r, p, rz, _, t_acc, it = state
+            corr_pl, tp = corr_planes(p)
+            x, r, p, alpha, rz_new, rr = cg_pose_step(
+                AP, corr_pl, x, r, p, rz, interpret=interpret
+            )
+            t_acc = t_acc + alpha * tp
+            return (x, r, p, rz_new, rr, t_acc, it + 1)
+
+        x_pl, _, _, _, _, t, it = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, rz0, rr0, t0, jnp.asarray(0, jnp.int32))
+        )
+        return x_pl[:, :n_opt].T, t, it
+
+    if getattr(opts, "cg_fused_step", True):
+        pcg = pcg_fused
+
     def body(c):
         (R_cw, t_cw, X, lam, prev_cost, it, done, converged, info,
          num_info, x_prev, rhs_norm_prev, eta_prev) = c

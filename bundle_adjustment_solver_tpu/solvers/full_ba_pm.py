@@ -219,6 +219,77 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     return x, t, it
 
 
+def _block_pcg_pm_fused(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter,
+                        tol, interpret, x0=None):
+    """Same PCG as `_block_pcg_pm`, with the entire pose-side algebra of
+    each iteration fused into one Pallas kernel (ops/pallas/cg_step.py).
+
+    State lives in plane form (components x lane-padded poses); the only
+    per-iteration XLA work left is the landmark-side matvec kernel, its
+    windowed second-level segment-sum, two layout transposes, and the
+    t-accumulation axpy. Identical math / accumulation order to the unfused
+    path up to f32 reduction order."""
+    from ..ops.pallas.cg_step import (
+        cg_pose_step,
+        padded_poses,
+        plane_sym6_matvec,
+        to_planes,
+    )
+
+    n_opt = shape.num_opt_poses
+    P = shape.window
+    Np = padded_poses(n_opt)
+    AP = (
+        jnp.zeros((42, Np), jnp.float32)
+        .at[:21, :n_opt].set(Atri.T)
+        .at[21:, :n_opt].set(precond_tri.T)
+    )
+    rhs_pl = to_planes(rhs, Np)
+    rhs_sq = jnp.maximum(jnp.sum(rhs_pl * rhs_pl), 1e-30)
+
+    def corr_planes(x_pl):
+        """Landmark-side correction B Cinv B^T x as planes, plus t = B^T x."""
+        x_tbl = (
+            jnp.zeros((n_opt + P, 8), jnp.float32)
+            .at[:n_opt, :6].set(x_pl[:, :n_opt].T)
+        )
+        pan, t = K._run_matvec(pm, shape, Cb, U, x_tbl, "matvec", interpret)
+        corr = K._second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
+        return to_planes(corr, Np), t
+
+    if x0 is None:
+        x_init = jnp.zeros((6, Np), jnp.float32)
+        r0 = rhs_pl
+        t_init = jnp.zeros((4, shape.padded_points), jnp.float32)
+    else:
+        x_init = to_planes(x0, Np)
+        corr0, t_init = corr_planes(x_init)
+        Sx0 = plane_sym6_matvec(AP[:21], x_init) - corr0
+        r0 = rhs_pl - Sx0
+    z0 = plane_sym6_matvec(AP[21:], r0)
+    rz0 = jnp.sum(r0 * z0)
+    rr0 = jnp.sum(r0 * r0)
+
+    def cond(state):
+        _, _, _, _, rr, _, it = state
+        return jnp.logical_and(it < max_iter, rr > tol * rhs_sq)
+
+    def body(state):
+        x, r, p, rz, _, t_acc, it = state
+        corr_pl, tp = corr_planes(p)
+        x, r, p, alpha, rz_new, rr = cg_pose_step(
+            AP, corr_pl, x, r, p, rz, interpret=interpret
+        )
+        t_acc = t_acc + alpha * tp
+        return (x, r, p, rz_new, rr, t_acc, it + 1)
+
+    x_pl, _, _, _, _, t, it = jax.lax.while_loop(
+        cond, body, (x_init, r0, z0, rz0, rr0, t_init,
+                     jnp.asarray(0, jnp.int32))
+    )
+    return x_pl[:, :n_opt].T, t, it
+
+
 def _pm_loop_pieces(
     pm: PointMajorProblem,
     shape: PMShape,
@@ -284,7 +355,8 @@ def _pm_loop_pieces(
             tol, eta, rhs_norm = _cg_tolerance(
                 opts, rhs, c.rhs_norm_prev, c.eta_prev
             )
-            x, t, cg_it = _block_pcg_pm(
+            pcg = _block_pcg_pm_fused if opts.cg_fused_step else _block_pcg_pm
+            x, t, cg_it = pcg(
                 pm, shape, Atri, Cb, U, rhs, precond_tri,
                 opts.cg_max_iterations, tol, interpret,
                 x0=c.x_prev if warm else None,

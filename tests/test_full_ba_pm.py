@@ -741,6 +741,101 @@ class TestSchurJacobiPrecond:
         )
 
 
+class TestFusedCGStep:
+    """The fused pose-side PCG kernel (ops/pallas/cg_step.py) must be an
+    exact re-expression of the XLA loop body."""
+
+    def test_fused_pcg_matches_unfused_solve(self):
+        """End-to-end: identical CG-iteration trajectory and matching
+        solution with cg_fused_step on/off (EW forcing exercises the
+        traced-tolerance termination path through the fused kernel)."""
+        problem, shape = _small_problem()
+        base = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(12),
+            reduced_system="cg",
+            cg_max_iterations=40,
+            cg_forcing="ew",
+        )
+        st_f, sum_f = solve_pm(problem, shape, base)
+        st_p, sum_p = solve_pm(
+            problem, shape, base.replace(cg_fused_step=False)
+        )
+        cg_f = [oi.cg_iterations for oi in sum_f.optimization_info_list]
+        cg_p = [oi.cg_iterations for oi in sum_p.optimization_info_list]
+        assert cg_f == cg_p
+        np.testing.assert_allclose(
+            float(st_f.final_cost), float(st_p.final_cost), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_f.points), np.asarray(st_p.points),
+            rtol=1e-3, atol=1e-5,
+        )
+
+    def test_fused_step_kernel_unit(self):
+        """One fused step against a numpy transcription of the PCG body on
+        a random SPD tri system (pad lanes must stay exactly zero)."""
+        from bundle_adjustment_solver_tpu.ops.pallas.cg_step import (
+            cg_pose_step,
+            padded_poses,
+            to_planes,
+        )
+        from bundle_adjustment_solver_tpu.ops.sym6 import (
+            _TRI6,
+            inverse_tri6,
+            tri6_matvec,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 37
+        Np = padded_poses(n)
+        G = rng.normal(size=(n, 6, 6))
+        A = G @ np.transpose(G, (0, 2, 1)) + 6.0 * np.eye(6)
+        Atri = jnp.asarray(
+            np.stack([A[:, a, b] for (a, b) in _TRI6], axis=1), jnp.float32
+        )
+        Ptri = inverse_tri6(Atri)
+        r = jnp.asarray(rng.normal(size=(n, 6)), jnp.float32)
+        z = tri6_matvec(Ptri, r)
+        p = z
+        x = jnp.zeros((n, 6), jnp.float32)
+        rz = jnp.sum(r * z)
+        corr = jnp.asarray(0.1 * rng.normal(size=(n, 6)), jnp.float32)
+
+        AP = (
+            jnp.zeros((42, Np), jnp.float32)
+            .at[:21, :n].set(Atri.T)
+            .at[21:, :n].set(Ptri.T)
+        )
+        xo, ro, po, alpha, rz_new, rr = cg_pose_step(
+            AP, to_planes(corr, Np), to_planes(x, Np), to_planes(r, Np),
+            to_planes(p, Np), rz, interpret=True,
+        )
+
+        # Reference step in the unfused layout.
+        Sp = tri6_matvec(Atri, p) - corr
+        alpha_ref = rz / jnp.maximum(jnp.sum(p * Sp), 1e-30)
+        x_ref = x + alpha_ref * p
+        r_ref = r - alpha_ref * Sp
+        z_ref = tri6_matvec(Ptri, r_ref)
+        rz_ref = jnp.sum(r_ref * z_ref)
+        beta_ref = rz_ref / jnp.maximum(rz, 1e-30)
+        p_ref = z_ref + beta_ref * p
+
+        np.testing.assert_allclose(float(alpha), float(alpha_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(rz_new), float(rz_ref), rtol=1e-4)
+        np.testing.assert_allclose(
+            float(rr), float(jnp.sum(r_ref * r_ref)), rtol=1e-4
+        )
+        for got, want in ((xo, x_ref), (ro, r_ref), (po, p_ref)):
+            np.testing.assert_allclose(
+                np.asarray(got)[:, :n].T, np.asarray(want),
+                rtol=2e-4, atol=1e-5,
+            )
+            assert np.all(np.asarray(got)[:, n:] == 0.0)
+
+
 def test_time_iterations_device_mode_cpu_fallback():
     """time_iterations='device' must solve identically; on CPU there is no
     TPU plane so iter_time falls back to -1 (the trace-derived times are
