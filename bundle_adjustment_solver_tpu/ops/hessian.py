@@ -299,9 +299,25 @@ def schur_diag_correction(
     engine computes the pair-exact version in-kernel,
     ops/pallas/full_ba_pm.py.)
     """
-    Cinv_g = _gather_padded(sys.Cinv, point_opt, n_opt_points)  # (O, 3, 3)
-    UC = jnp.einsum("oab,obc->oac", sys.U, Cinv_g, precision=_HIGHEST)
-    UCUt = jnp.einsum("oac,obc->oab", UC, sys.U, precision=_HIGHEST)
+    return schur_diag_correction_arrays(
+        sys.U, sys.Cinv, pose_opt, point_opt, n_opt_poses, n_opt_points
+    )
+
+
+def schur_diag_correction_arrays(
+    U: jax.Array,  # (O, 6, 3)
+    Cinv: jax.Array,  # (M_opt, 3, 3)
+    pose_opt: jax.Array,  # (O,)
+    point_opt: jax.Array,  # (O,)
+    n_opt_poses: int,
+    n_opt_points: int,
+) -> jax.Array:
+    """Array-level core of `schur_diag_correction`, shared with the
+    shard_map engine (parallel/sharded_ba.py, which psums the per-shard
+    partial this returns)."""
+    Cinv_g = _gather_padded(Cinv, point_opt, n_opt_points)  # (O, 3, 3)
+    UC = jnp.einsum("oab,obc->oac", U, Cinv_g, precision=_HIGHEST)
+    UCUt = jnp.einsum("oac,obc->oab", UC, U, precision=_HIGHEST)
     return jax.ops.segment_sum(
         UCUt, pose_opt, num_segments=n_opt_poses + 1
     )[:n_opt_poses]

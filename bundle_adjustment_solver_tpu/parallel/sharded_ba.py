@@ -419,13 +419,10 @@ def _device_program(
             # Schur-Jacobi: per-shard observation-pass correction
             # sum_o U_o Cinv U_o^T, psum'd into the replicated pose blocks
             # (see ops/hessian.schur_diag_correction for the SPD argument).
-            Cinv_g = H._gather_padded(Cinv, obs_point_opt, m_opt_l)
-            UC = jnp.einsum("oab,obc->oac", U, Cinv_g, precision=_HIGHEST)
-            UCUt = jnp.einsum("oac,obc->oab", UC, U, precision=_HIGHEST)
             corr_diag = _psum(
-                jax.ops.segment_sum(
-                    UCUt, obs_pose_opt, num_segments=n_opt + 1
-                )[:n_opt]
+                H.schur_diag_correction_arrays(
+                    U, Cinv, obs_pose_opt, obs_point_opt, n_opt, m_opt_l
+                )
             )
             precond = H.inverse_6x6(A_d - corr_diag)
         else:

@@ -9,16 +9,19 @@ fused Pallas kernels of ops/pallas/full_ba_pm.py on each shard:
     (lane) axis at block granularity -- no repacking: `shard_map` in_specs
     simply split the last axis, and each device runs the kernels over its own
     blocks with its own per-block pose-window bases;
-  - per-shard pose-system partials (the flat (N_opt, 64) panel sums from the
-    assembly kernel, the matvec/rhs corrections, and the cost partials) are
-    `psum`'d -- 6 N_opt floats per CG step, exactly the survey's all-reduce
-    pattern;
+  - per-shard pose-system partials (the flat panel sums from the assembly
+    kernel -- (N_opt, 40) by default, (N_opt, 64) when
+    Options.cg_precond='schur_jacobi' adds the Schur-diagonal columns --
+    the matvec/rhs corrections, and the cost partials) are `psum`'d --
+    6 N_opt floats per CG step, exactly the survey's all-reduce pattern;
   - landmark state (C, Cinv, b, U, back-substituted y, point updates) never
     leaves its shard.
 
-Communication per LM iteration: one psum of (N_opt, 64) for assembly, one
-(N_opt, 6) psum per CG iteration, and a handful of scalar psums -- at
-N_opt = 10k that is ~1.3 MB + 240 KB x CG iters over ICI.
+Communication per LM iteration: one psum of the assembly panel ((N_opt, 40)
+default / (N_opt, 64) schur_jacobi), one (N_opt, 6) psum per CG iteration,
+and a handful of scalar psums -- at N_opt = 10k that is ~1.6 MB (2.6 MB
+schur_jacobi) + 240 KB x CG iters over ICI (see comm_volume_model for the
+exact accounting).
 """
 
 from __future__ import annotations
@@ -236,66 +239,23 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
         return x, t, it
 
     def pcg_fused(Cb, U, Atri, rhs, precond_tri, tol, x_start):
-        """Same PCG with the pose-side algebra fused into one Pallas kernel
-        per iteration (ops/pallas/cg_step.py; see the single-chip
-        _block_pcg_pm_fused). The pose system is replicated across shards,
-        so the kernel runs identically per device on the psum'd correction;
-        only t = B^T x stays shard-local."""
-        from ..ops.pallas.cg_step import (
-            cg_pose_step,
-            padded_poses,
-            plane_sym6_matvec,
-            to_planes,
-        )
+        """Fused PCG (ops/pallas/cg_step.py) via the shared plane driver.
+        The pose system is replicated across shards, so the kernel runs
+        identically per device on the psum'd correction; only t = B^T x
+        stays shard-local."""
+        from ..solvers.full_ba_pm import fused_pcg_planes
 
-        n_opt = shape.num_opt_poses
-        Np = padded_poses(n_opt)
-        AP = (
-            jnp.zeros((42, Np), jnp.float32)
-            .at[:21, :n_opt].set(Atri.T)
-            .at[21:, :n_opt].set(precond_tri.T)
-        )
-        rhs_pl = to_planes(rhs, Np)
-        rhs_sq = jnp.maximum(jnp.sum(rhs_pl * rhs_pl), 1e-30)
-
-        def corr_planes(x_pl):
+        def corr_fn(x):
             corr, t = K.matvec_corr_pm(
-                pm_local, shape, Cb, U, x_pl[:, :n_opt].T,
-                interpret=interpret,
+                pm_local, shape, Cb, U, x, interpret=interpret
             )
-            return to_planes(_psum(corr), Np), t
+            return _psum(corr), t
 
-        if x_start is None:
-            x0 = jnp.zeros((6, Np), jnp.float32)
-            r0 = rhs_pl
-            t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
-        else:
-            x0 = to_planes(x_start, Np)
-            corr0, t0 = corr_planes(x0)
-            r0 = rhs_pl - (plane_sym6_matvec(AP[:21], x0) - corr0)
-        z0 = plane_sym6_matvec(AP[21:], r0)
-        rz0 = jnp.sum(r0 * z0)
-        rr0 = jnp.sum(r0 * r0)
-
-        def cond(state):
-            _, _, _, _, rr, _, it = state
-            return jnp.logical_and(
-                it < opts.cg_max_iterations, rr > tol * rhs_sq
-            )
-
-        def body(state):
-            x, r, p, rz, _, t_acc, it = state
-            corr_pl, tp = corr_planes(p)
-            x, r, p, alpha, rz_new, rr = cg_pose_step(
-                AP, corr_pl, x, r, p, rz, interpret=interpret
-            )
-            t_acc = t_acc + alpha * tp
-            return (x, r, p, rz_new, rr, t_acc, it + 1)
-
-        x_pl, _, _, _, _, t, it = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, rz0, rr0, t0, jnp.asarray(0, jnp.int32))
+        return fused_pcg_planes(
+            shape.num_opt_poses, shape.padded_points, Atri, rhs,
+            precond_tri, opts.cg_max_iterations, tol, interpret, corr_fn,
+            x0=x_start,
         )
-        return x_pl[:, :n_opt].T, t, it
 
     if getattr(opts, "cg_fused_step", True):
         pcg = pcg_fused

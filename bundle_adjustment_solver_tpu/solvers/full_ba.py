@@ -112,10 +112,12 @@ def _cg_tolerance(opts: Options, rhs, rhs_norm_prev, eta_prev):
     squared-residual test stops at ||r|| <= eta ||rhs||.
     """
     rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+    # eta/rhs_norm ride the LM while_loop carry, so they must match the
+    # problem dtype (f64 problems via finalized_from_arrays(dtype=...)).
     if getattr(opts, "cg_forcing", "fixed") != "ew":
         return (
-            jnp.asarray(opts.cg_tolerance, jnp.float32),
-            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(opts.cg_tolerance, rhs.dtype),
+            jnp.asarray(0.0, rhs.dtype),
             rhs_norm,
         )
     gamma = 0.9
@@ -564,6 +566,18 @@ def solve(
             return full_ba_pm.solve_pm(problem, shape, options, host=host)
         except ValueError:
             mode = "cg"  # exceeds point-major static bounds
+
+    if timed == "device":
+        # Device-clock timing derives iter_time from the point-major
+        # assembly kernel's trace events; the observation-table engine has
+        # no such anchor. Refuse rather than silently reporting chunked
+        # dispatch+fetch wall times (the artifact "device" exists to avoid).
+        raise ValueError(
+            "time_iterations='device' requires the point-major engine "
+            f"(resolved mode: {mode!r}); use reduced_system='pm_cg' on a "
+            "problem within its static bounds, or time_iterations=True for "
+            "chunked wall-clock timing"
+        )
 
     iter_times_ms = None
     if timed:

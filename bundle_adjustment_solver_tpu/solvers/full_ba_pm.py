@@ -219,15 +219,19 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     return x, t, it
 
 
-def _block_pcg_pm_fused(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter,
-                        tol, interpret, x0=None):
-    """Same PCG as `_block_pcg_pm`, with the entire pose-side algebra of
-    each iteration fused into one Pallas kernel (ops/pallas/cg_step.py).
+def fused_pcg_planes(n_opt, padded_points, Atri, rhs, precond_tri, max_iter,
+                     tol, interpret, corr_fn, x0=None):
+    """Shared fused-PCG driver on pose planes: the entire pose-side algebra
+    of each iteration runs in one Pallas kernel (ops/pallas/cg_step.py).
 
-    State lives in plane form (components x lane-padded poses); the only
-    per-iteration XLA work left is the landmark-side matvec kernel, its
-    windowed second-level segment-sum, two layout transposes, and the
-    t-accumulation axpy. Identical math / accumulation order to the unfused
+    `corr_fn(x (n_opt, 6)) -> (corr (n_opt, 6), t (4, padded_points))` is
+    the landmark-side B Cinv B^T correction -- the ONLY piece that differs
+    between the single-chip engine (matvec_corr_pm) and the shard_map
+    engine (same + psum over the data axis; t stays shard-local). State
+    lives in plane form (components x lane-padded poses); the remaining
+    per-iteration XLA work is the matvec kernel, its windowed second-level
+    segment-sum, two layout transposes, and the t-accumulation axpy.
+    Identical math / accumulation order to the unfused `_block_pcg_pm`
     path up to f32 reduction order."""
     from ..ops.pallas.cg_step import (
         cg_pose_step,
@@ -236,8 +240,6 @@ def _block_pcg_pm_fused(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter,
         to_planes,
     )
 
-    n_opt = shape.num_opt_poses
-    P = shape.window
     Np = padded_poses(n_opt)
     AP = (
         jnp.zeros((42, Np), jnp.float32)
@@ -248,19 +250,13 @@ def _block_pcg_pm_fused(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter,
     rhs_sq = jnp.maximum(jnp.sum(rhs_pl * rhs_pl), 1e-30)
 
     def corr_planes(x_pl):
-        """Landmark-side correction B Cinv B^T x as planes, plus t = B^T x."""
-        x_tbl = (
-            jnp.zeros((n_opt + P, 8), jnp.float32)
-            .at[:n_opt, :6].set(x_pl[:, :n_opt].T)
-        )
-        pan, t = K._run_matvec(pm, shape, Cb, U, x_tbl, "matvec", interpret)
-        corr = K._second_level(pan, pm.sbase, n_opt, P, 8)[:, :6]
+        corr, t = corr_fn(x_pl[:, :n_opt].T)
         return to_planes(corr, Np), t
 
     if x0 is None:
         x_init = jnp.zeros((6, Np), jnp.float32)
         r0 = rhs_pl
-        t_init = jnp.zeros((4, shape.padded_points), jnp.float32)
+        t_init = jnp.zeros((4, padded_points), jnp.float32)
     else:
         x_init = to_planes(x0, Np)
         corr0, t_init = corr_planes(x_init)
@@ -288,6 +284,19 @@ def _block_pcg_pm_fused(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter,
                      jnp.asarray(0, jnp.int32))
     )
     return x_pl[:, :n_opt].T, t, it
+
+
+def _block_pcg_pm_fused(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter,
+                        tol, interpret, x0=None):
+    """Single-chip fused PCG: `fused_pcg_planes` over matvec_corr_pm."""
+
+    def corr_fn(x):
+        return K.matvec_corr_pm(pm, shape, Cb, U, x, interpret=interpret)
+
+    return fused_pcg_planes(
+        shape.num_opt_poses, shape.padded_points, Atri, rhs, precond_tri,
+        max_iter, tol, interpret, corr_fn, x0=x0,
+    )
 
 
 def _pm_loop_pieces(

@@ -1795,6 +1795,21 @@ def solve_stereo_planar3dof_batched(
 # ---------------------------------------------------------------------------
 
 
+def _timed(options: Options) -> bool:
+    """Chunked-timing gate. time_iterations='device' is a full-BA
+    point-major mode (its iter_time anchors on the assembly kernel's trace
+    events); refuse it here instead of silently reporting chunked
+    dispatch+fetch wall times."""
+    timed = getattr(options, "time_iterations", False)
+    if timed == "device":
+        raise ValueError(
+            "time_iterations='device' requires the full-BA point-major "
+            "engine; pose-only solvers support time_iterations=True "
+            "(chunked wall-clock) only"
+        )
+    return bool(timed)
+
+
 def _chunked_pose_only(step, pose0, options: Options):
     """Chunked-dispatch reporting mode for the pose-only solvers
     (Options.time_iterations): dispatch ONE GN iteration per jit call so
@@ -1913,7 +1928,7 @@ def solve_monocular_6dof(
     pixels = jnp.asarray(pixels, dtype=jnp.float32)
     valid = jnp.ones(points.shape[0], dtype=bool)
     intr = jnp.asarray(intrinsics, dtype=jnp.float32)
-    if getattr(options, "time_iterations", False):
+    if _timed(options):
         def step(pose, o1):
             return solve_monocular_6dof_jax(
                 points, pixels, valid, intr, pose, o1
@@ -1963,7 +1978,7 @@ def solve_stereo_6dof(
         jnp.asarray(intrinsics_right, dtype=jnp.float32),
         jnp.asarray(pose_left_to_right, dtype=jnp.float32),
     )
-    if getattr(options, "time_iterations", False):
+    if _timed(options):
         def step(pose, o1):
             return solve_stereo_6dof_jax(points, *sargs, pose, o1)
 
@@ -2013,7 +2028,7 @@ def solve_monocular_planar3dof(
         jnp.asarray(pose_base_to_camera, dtype=jnp.float32),
         jnp.asarray(pose_world_to_last, dtype=jnp.float32),
     )
-    if getattr(options, "time_iterations", False):
+    if _timed(options):
         def step(pose, o1):
             return solve_monocular_planar3dof_jax(points, *pargs, pose, o1)
 
@@ -2063,7 +2078,7 @@ def solve_stereo_planar3dof(
         jnp.asarray(pose_left_to_right, dtype=jnp.float32),
         jnp.asarray(pose_world_to_last, dtype=jnp.float32),
     )
-    if getattr(options, "time_iterations", False):
+    if _timed(options):
         def step(pose, o1):
             return solve_stereo_planar3dof_jax(points, *pargs, pose, o1)
 

@@ -273,3 +273,58 @@ class TestTimedIterations:
         assert all(oi.iter_time == -1.0 for oi in s_plain.optimization_info_list)
         # brief_report prints the real numbers.
         assert "itr_time" in s_timed.brief_report()
+
+
+class TestCgDtypeAndDeviceModeGuards:
+    """Round-3 review regressions: carry-dtype consistency for f64 problems
+    and the time_iterations='device' routing guard."""
+
+    def test_cg_f64_carry_dtype(self):
+        """An f64 problem with reduced_system='cg' must trace: _cg_tolerance
+        previously returned f32 eta against an f64 eta_prev carry and the
+        while_loop carry check raised at trace time (both 'fixed' and 'ew'
+        forcing ride the same carry)."""
+        from bundle_adjustment_solver_tpu.models.problem import (
+            finalized_from_arrays,
+        )
+        from bundle_adjustment_solver_tpu.solvers import full_ba
+
+        prob = stereo_ba_problem(num_poses=5, num_fixed_poses=1, seed=3)
+        fixed = np.zeros(prob.poses_initial.shape[0], bool)
+        fixed[prob.fixed_pose_ids] = True
+        with jax.enable_x64(True):
+            problem, shape = finalized_from_arrays(
+                prob.cameras, prob.poses_initial, prob.points_initial,
+                prob.obs_camera, prob.obs_pose, prob.obs_point,
+                prob.obs_pixel, fixed_pose_mask=fixed, dtype=jnp.float64,
+            )
+            for forcing in ("fixed", "ew"):
+                opts = lm_options(max_iter=3, reduced_system="cg",
+                                  cg_forcing=forcing, cg_max_iterations=10)
+                state = full_ba._solve_jax(problem, shape, opts, "cg")
+                assert state.final_cost.dtype == jnp.float64
+                assert np.isfinite(float(state.final_cost))
+
+    def test_device_mode_refused_off_pm_engine(self):
+        """time_iterations='device' anchors on the point-major assembly
+        kernel's trace events; the obs-table route must refuse it instead
+        of silently reporting chunked dispatch wall times."""
+        prob = stereo_ba_problem(num_poses=5, num_fixed_poses=1, seed=3)
+        solver = build_solver(prob)
+        opts = lm_options(max_iter=3, reduced_system="dense",
+                          time_iterations="device")
+        with pytest.raises(ValueError, match="point-major"):
+            solver.solve(opts)
+
+    def test_device_mode_refused_pose_only(self):
+        from bundle_adjustment_solver_tpu.solvers import pose_only
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            mono_pose_only_problem,
+        )
+
+        p = mono_pose_only_problem(num_points=50, seed=1)
+        opts = lm_options(max_iter=3, time_iterations="device")
+        with pytest.raises(ValueError, match="point-major"):
+            pose_only.solve_monocular_6dof(
+                p.points, p.pixels, p.intrinsics, p.pose_initial, opts
+            )
