@@ -48,6 +48,15 @@ _IDX = {ab: n for n, ab in enumerate(_TRI6)}
 
 LANES = 128
 
+# Single-block VMEM residency of the fused step is ~336 bytes/pose lane
+# (AP 42 rows + 4 state operands x 6 rows + 3 outputs x 6 rows, all f32).
+# 16,384 lanes ~ 5.5 MB -- comfortably inside v5e VMEM next to compiler
+# scratch. Above this the engines route to the unfused XLA loop body
+# (solvers/full_ba_pm._block_pcg_pm), which has no such bound: the fused
+# kernel's ~0.3 ms/CG-iteration dispatch saving is amortized away at that
+# scale anyway (the landmark-side matvec dominates).
+MAX_FUSED_POSES = 16_384
+
 
 def padded_poses(n_opt: int) -> int:
     """Lane-padded pose count for the plane layout."""

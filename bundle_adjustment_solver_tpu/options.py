@@ -114,7 +114,9 @@ class Options:
     # x/r updates, preconditioner apply, beta, p update, ||r||^2) into one
     # Pallas kernel in the point-major engine (ops/pallas/cg_step.py) --
     # removes ~10 dispatch-bound XLA fusions (~0.3 ms at N_opt = 10k) per
-    # CG iteration. False falls back to the XLA loop body.
+    # CG iteration. False falls back to the XLA loop body; problems above
+    # cg_step.MAX_FUSED_POSES opt poses fall back automatically (the
+    # single-block kernel's plane state must fit VMEM).
     cg_fused_step: bool = True
     gd_step_clip: float = 0.001
     # 'reference' reproduces the reference's cost: sum of residual L2 norms

@@ -257,7 +257,10 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             x0=x_start,
         )
 
-    if getattr(opts, "cg_fused_step", True):
+    from ..ops.pallas.cg_step import MAX_FUSED_POSES
+
+    if (getattr(opts, "cg_fused_step", True)
+            and shape.num_opt_poses <= MAX_FUSED_POSES):
         pcg = pcg_fused
 
     def body(c):

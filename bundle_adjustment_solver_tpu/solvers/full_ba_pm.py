@@ -364,7 +364,13 @@ def _pm_loop_pieces(
             tol, eta, rhs_norm = _cg_tolerance(
                 opts, rhs, c.rhs_norm_prev, c.eta_prev
             )
-            pcg = _block_pcg_pm_fused if opts.cg_fused_step else _block_pcg_pm
+            from ..ops.pallas.cg_step import MAX_FUSED_POSES
+
+            use_fused = (
+                opts.cg_fused_step
+                and shape.num_opt_poses <= MAX_FUSED_POSES
+            )
+            pcg = _block_pcg_pm_fused if use_fused else _block_pcg_pm
             x, t, cg_it = pcg(
                 pm, shape, Atri, Cb, U, rhs, precond_tri,
                 opts.cg_max_iterations, tol, interpret,

@@ -773,6 +773,39 @@ class TestFusedCGStep:
             rtol=1e-3, atol=1e-5,
         )
 
+    def test_vmem_bound_routes_to_unfused(self, monkeypatch):
+        """Problems above cg_step.MAX_FUSED_POSES must fall back to the
+        unfused XLA loop (the single-block kernel's plane state would not
+        fit VMEM); the solve itself is unchanged."""
+        from bundle_adjustment_solver_tpu.ops.pallas import cg_step
+
+        problem, shape = _small_problem()
+        opts = Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(6),
+            reduced_system="cg",
+            cg_max_iterations=25,
+        )
+        st_fused, _ = solve_pm(problem, shape, opts)
+        monkeypatch.setattr(cg_step, "MAX_FUSED_POSES", 2)
+        called = []
+        import bundle_adjustment_solver_tpu.solvers.full_ba_pm as mod
+        orig = mod._block_pcg_pm
+
+        def spy(*a, **k):
+            called.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(mod, "_block_pcg_pm", spy)
+        jax.clear_caches()  # routing is trace-time; drop the fused trace
+        st_routed, _ = solve_pm(problem, shape, opts)
+        assert called, "expected fallback to the unfused PCG path"
+        np.testing.assert_allclose(
+            float(st_routed.final_cost), float(st_fused.final_cost),
+            rtol=1e-3,
+        )
+
     def test_fused_step_kernel_unit(self):
         """One fused step against a numpy transcription of the PCG body on
         a random SPD tri system (pad lanes must stay exactly zero)."""
