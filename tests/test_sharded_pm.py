@@ -87,3 +87,35 @@ def test_sharded_pm_converges_to_truth():
         - prob.poses_true[:, :3, 3]
     ).max()
     assert pose_err < 0.05  # absolute recovery up to corridor gauge drift
+
+
+def test_sharded_fused_cg_matches_unfused():
+    """The shard_map engine's fused PCG (shared fused_pcg_planes driver)
+    must reproduce the unfused XLA loop's trajectory: identical per-LM
+    CG-iteration counts and matching solution (EW forcing exercises the
+    traced-tolerance termination through the fused kernel under psum)."""
+    from bundle_adjustment_solver_tpu.summary import INFO_CG_ITERS
+
+    problem, shape = _problem()
+    base = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(8),
+        cg_max_iterations=30,
+        cg_forcing="ew",
+    )
+    st_f, _ = solve_sharded_pm(problem, shape, base, num_shards=4)
+    st_u, _ = solve_sharded_pm(
+        problem, shape, base.replace(cg_fused_step=False), num_shards=4
+    )
+    cg_f = np.asarray(st_f.info)[:8, INFO_CG_ITERS].astype(int).tolist()
+    cg_u = np.asarray(st_u.info)[:8, INFO_CG_ITERS].astype(int).tolist()
+    assert cg_f == cg_u
+    np.testing.assert_allclose(
+        float(st_f.final_cost), float(st_u.final_cost), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_f.poses_world_to_camera),
+        np.asarray(st_u.poses_world_to_camera),
+        rtol=1e-3, atol=1e-5,
+    )
