@@ -95,7 +95,7 @@ def _cg_step_kernel(ap_ref, corr_ref, x_ref, r_ref, p_ref, rz_ref,
     Ap = _sym6_rows(ap_ref, 0, p)
     Sp = [Ap[a] - corr_ref[a:a + 1, :] for a in range(6)]
     pSp = _dot6(p, Sp)
-    rz = rz_ref[0]
+    rz = rz_ref[0, 0]
     alpha = rz / jnp.maximum(pSp, 1e-30)
     rn = []
     for a in range(6):
@@ -108,9 +108,9 @@ def _cg_step_kernel(ap_ref, corr_ref, x_ref, r_ref, p_ref, rz_ref,
     beta = rz_new / jnp.maximum(rz, 1e-30)
     for a in range(6):
         po_ref[a:a + 1, :] = z[a] + beta * p[a]
-    sc_ref[0] = alpha
-    sc_ref[1] = rz_new
-    sc_ref[2] = _dot6(rn, rn)
+    sc_ref[0, 0] = alpha
+    sc_ref[1, 0] = rz_new
+    sc_ref[2, 0] = _dot6(rn, rn)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -131,11 +131,11 @@ def cg_pose_step(AP, corr, x, r, p, rz, interpret: bool = False):
             jax.ShapeDtypeStruct((6, Np), jnp.float32),
             jax.ShapeDtypeStruct((6, Np), jnp.float32),
             jax.ShapeDtypeStruct((6, Np), jnp.float32),
-            jax.ShapeDtypeStruct((3,), jnp.float32),
+            jax.ShapeDtypeStruct((3, 1), jnp.float32),  # SMEM scalars are 2D
         ],
         interpret=interpret,
-    )(AP, corr, x, r, p, jnp.reshape(rz, (1,)).astype(jnp.float32))
-    return xo, ro, po, sc[0], sc[1], sc[2]
+    )(AP, corr, x, r, p, jnp.reshape(rz, (1, 1)).astype(jnp.float32))
+    return xo, ro, po, sc[0, 0], sc[1, 0], sc[2, 0]
 
 
 def to_planes(v, Np):
