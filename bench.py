@@ -79,6 +79,12 @@ def _fetch(x) -> float:
     return float(np.asarray(x))
 
 
+# Fused pose-side PCG step (ops/pallas/cg_step.py): on by default; flipped
+# off (with a stderr note) if its first compile fails so the flagship metric
+# degrades to the proven unfused path instead of crashing the capture.
+_FUSED_CG = os.environ.get("BENCH_FUSED_CG", "1") != "0"
+
+
 def full_ba_options(max_iter):
     # Thresholds at 0 force exactly max_iter LM iterations (no early exit):
     # a deterministic workload, comparable across runs regardless of
@@ -94,6 +100,7 @@ def full_ba_options(max_iter):
         cg_max_iterations=25,
         cg_tolerance=0.0,
         cg_forcing=cg_forcing if cg_forcing in ("ew", "fixed") else "ew",
+        cg_fused_step=_FUSED_CG,
     )
 
 
@@ -158,10 +165,22 @@ def bench_full_ba() -> tuple[dict, dict]:
     """
     from bundle_adjustment_solver_tpu.summary import INFO_CG_ITERS
 
+    global _FUSED_CG
     run, shape = _build_flagship()
     n_obs = shape.num_observations
 
-    run(TIMED_ITERS)  # compile + warm-up
+    try:
+        run(TIMED_ITERS)  # compile + warm-up
+    except Exception as e:  # pragma: no cover - TPU-compile safety net
+        if not _FUSED_CG:
+            raise
+        print(
+            f"WARNING: fused CG step failed to compile ({type(e).__name__}: "
+            f"{e}); falling back to the unfused PCG path",
+            file=sys.stderr,
+        )
+        _FUSED_CG = False  # options are built per call; no rebuild needed
+        run(TIMED_ITERS)
     t0 = time.perf_counter()
     info_d, rmse_d = run(TIMED_ITERS)
     elapsed = time.perf_counter() - t0
