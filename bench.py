@@ -213,7 +213,7 @@ def bench_full_ba() -> tuple[dict, dict]:
     target = TARGET_RMSE
     n_try = max(4, TIMED_ITERS // 8)
     best = None
-    for _ in range(6):
+    while True:
         run(n_try)  # compile + warm for this iteration count
         t0 = time.perf_counter()
         _, rmse_n_d = run(n_try)
@@ -221,6 +221,8 @@ def bench_full_ba() -> tuple[dict, dict]:
         rmse_n = _fetch(rmse_n_d)
         if rmse_n <= target:
             best = (n_try, dt, rmse_n)
+            break
+        if n_try >= TIMED_ITERS:  # the cap itself has now been tested
             break
         n_try = min(TIMED_ITERS, int(np.ceil(n_try * 1.5)))
     assert best is not None, (

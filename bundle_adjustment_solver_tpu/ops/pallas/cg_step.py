@@ -43,8 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TRI6 = [(a, b) for a in range(6) for b in range(a, 6)]
-_IDX = {ab: n for n, ab in enumerate(_TRI6)}
+from ...ops.sym6 import _IDX, _TRI6  # shared flat sym6 component order
 
 LANES = 128
 

@@ -163,5 +163,17 @@ class Options:
     # guess -- stays flagged).
     outlier_mask: str = "final"
 
+    def __post_init__(self):
+        # The solvers compare time_iterations == "device" exactly; reject
+        # near-miss strings ('Device', 'dev') that would otherwise fall
+        # through `if timed:` into chunked wall-clock mode silently.
+        if not isinstance(self.time_iterations, bool) and (
+            self.time_iterations != "device"
+        ):
+            raise ValueError(
+                "time_iterations must be False, True, or 'device'; got "
+                f"{self.time_iterations!r}"
+            )
+
     def replace(self, **kwargs) -> "Options":
         return dataclasses.replace(self, **kwargs)

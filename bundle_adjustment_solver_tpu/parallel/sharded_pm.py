@@ -191,52 +191,20 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
     warm = getattr(opts, "cg_warm_start", False)
 
     def pcg(Cb, U, Atri, rhs, precond_tri, tol, x_start):
-        def matvec(x):
+        """Unfused PCG (solvers/full_ba_pm.unfused_pcg) with the shard-
+        local correction psum'd across the data axis (t stays local)."""
+        from ..solvers.full_ba_pm import unfused_pcg
+
+        def corr_fn(x):
             corr, t = K.matvec_corr_pm(
                 pm_local, shape, Cb, U, x, interpret=interpret
             )
-            return tri6_matvec(Atri, x) - _psum(corr), t
+            return _psum(corr), t
 
-        def apply_precond(r):
-            return tri6_matvec(precond_tri, r)
-
-        if x_start is None:
-            x0 = jnp.zeros_like(rhs)
-            r0 = rhs
-            t0 = jnp.zeros((4, shape.padded_points), jnp.float32)
-        else:
-            Sx0, t0 = matvec(x_start)
-            x0 = x_start
-            r0 = rhs - Sx0
-        z0 = apply_precond(r0)
-        rz0 = jnp.sum(r0 * z0)
-        rhs_sq = jnp.maximum(jnp.sum(rhs * rhs), 1e-30)
-
-        def cond(state):
-            _, r, _, _, rz, _, it = state
-            return jnp.logical_and(
-                it < opts.cg_max_iterations,
-                jnp.sum(r * r) > tol * rhs_sq,
-            )
-
-        def body(state):
-            x, r, z, p, rz, t_acc, it = state
-            Sp, tp = matvec(p)
-            alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-30)
-            x = x + alpha * p
-            # t = B^T x is linear in x: accumulate (t is shard-local).
-            t_acc = t_acc + alpha * tp
-            r = r - alpha * Sp
-            z = apply_precond(r)
-            rz_new = jnp.sum(r * z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
-            p = z + beta * p
-            return (x, r, z, p, rz_new, t_acc, it + 1)
-
-        x, _, _, _, _, t, it = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, z0, rz0, t0, jnp.asarray(0, jnp.int32))
+        return unfused_pcg(
+            shape.padded_points, Atri, rhs, precond_tri,
+            opts.cg_max_iterations, tol, corr_fn, x0=x_start,
         )
-        return x, t, it
 
     def pcg_fused(Cb, U, Atri, rhs, precond_tri, tol, x_start):
         """Fused PCG (ops/pallas/cg_step.py) via the shared plane driver.

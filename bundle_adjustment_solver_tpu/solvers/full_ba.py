@@ -574,7 +574,7 @@ def solve(
         # dispatch+fetch wall times (the artifact "device" exists to avoid).
         raise ValueError(
             "time_iterations='device' requires the point-major engine "
-            f"(resolved mode: {mode!r}); use reduced_system='pm_cg' on a "
+            f"(resolved mode: {mode!r}); use reduced_system='pm' on a "
             "problem within its static bounds, or time_iterations=True for "
             "chunked wall-clock timing"
         )

@@ -158,10 +158,16 @@ def _c_times(Cb, y):
     )
 
 
-def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
-                  interpret, x0=None):
-    """Block-preconditioned PCG on the reduced system with the Pallas
-    matvec; the pose blocks stay in the flat tri layout (ops/sym6.py).
+def unfused_pcg(padded_points, Atri, rhs, precond_tri, max_iter, tol,
+                corr_fn, x0=None):
+    """Shared unfused PCG driver on the reduced system; the pose blocks
+    stay in the flat tri layout (ops/sym6.py).
+
+    `corr_fn(x (n_opt, 6)) -> (corr (n_opt, 6), t (4, padded_points))` is
+    the landmark-side B Cinv B^T correction -- the only piece that differs
+    between the single-chip engine (matvec_corr_pm) and the shard_map
+    engine (same + psum over the data axis; t stays shard-local). Cf. the
+    fused counterpart `fused_pcg_planes`.
 
     `tol` may be a traced scalar (the Eisenstat-Walker forcing tolerance on
     ||r||^2 / ||rhs||^2). `x0` warm-starts the iteration (one extra matvec
@@ -173,7 +179,7 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     from ..ops.sym6 import tri6_matvec
 
     def matvec(x):
-        corr, t = K.matvec_corr_pm(pm, shape, Cb, U, x, interpret=interpret)
+        corr, t = corr_fn(x)
         return tri6_matvec(Atri, x) - corr, t
 
     def apply_precond(r):
@@ -182,7 +188,7 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
     if x0 is None:
         x_init = jnp.zeros_like(rhs)
         r0 = rhs
-        t_init = jnp.zeros((4, shape.padded_points), jnp.float32)
+        t_init = jnp.zeros((4, padded_points), jnp.float32)
     else:
         Sx0, t_init = matvec(x0)
         x_init = x0
@@ -217,6 +223,19 @@ def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
                      jnp.asarray(0, jnp.int32))
     )
     return x, t, it
+
+
+def _block_pcg_pm(pm, shape, Atri, Cb, U, rhs, precond_tri, max_iter, tol,
+                  interpret, x0=None):
+    """Single-chip unfused PCG: `unfused_pcg` over matvec_corr_pm."""
+
+    def corr_fn(x):
+        return K.matvec_corr_pm(pm, shape, Cb, U, x, interpret=interpret)
+
+    return unfused_pcg(
+        shape.padded_points, Atri, rhs, precond_tri, max_iter, tol,
+        corr_fn, x0=x0,
+    )
 
 
 def fused_pcg_planes(n_opt, padded_points, Atri, rhs, precond_tri, max_iter,

@@ -1683,10 +1683,19 @@ def solve_stereo_6dof_batched_compacting(
         fin_rows = live[finished]
         if fin_rows.size:
             fin_ids = active[finished]
-            out_pose[fin_ids] = onp.asarray(res.pose)[fin_rows]
-            out_mask_l[fin_ids] = onp.asarray(res.mask_inlier)[fin_rows]
-            out_mask_r[fin_ids] = onp.asarray(res.mask_inlier_right)[fin_rows]
-            out_succ[fin_ids] = onp.asarray(res.success)[fin_rows]
+            # Gather the retired rows on device BEFORE fetching: the host
+            # readback then moves only the finished frames' data, not the
+            # whole bucket's (B, P) masks (tunnel readback is the slow
+            # path; see CLAUDE.md).
+            fidx = jnp.asarray(fin_rows)
+            out_pose[fin_ids] = onp.asarray(jnp.take(res.pose, fidx, axis=0))
+            out_mask_l[fin_ids] = onp.asarray(
+                jnp.take(res.mask_inlier, fidx, axis=0)
+            )
+            out_mask_r[fin_ids] = onp.asarray(
+                jnp.take(res.mask_inlier_right, fidx, axis=0)
+            )
+            out_succ[fin_ids] = onp.asarray(jnp.take(res.success, fidx))
             out_conv[fin_ids] = conv_seg[finished]
 
         keep_rows = live[~finished]

@@ -104,8 +104,14 @@ class Summary:
                     abs_step=float(row[INFO_ABS_STEP]),
                     abs_gradient=float(row[INFO_ABS_GRADIENT]),
                     damping_term=float(row[INFO_DAMPING]),
+                    # A device-clock trace may yield fewer marker events
+                    # than LM iterations (dropped/truncated profiler
+                    # events); report -1 for the uncovered tail rather
+                    # than crash a completed solve.
                     iter_time=(
-                        float(iter_times_ms[i]) if iter_times_ms is not None else -1.0
+                        float(iter_times_ms[i])
+                        if iter_times_ms is not None and i < len(iter_times_ms)
+                        else -1.0
                     ),
                     iteration_status=IterationStatus(int(row[INFO_STATUS])),
                     cg_iterations=int(row[INFO_CG_ITERS]),

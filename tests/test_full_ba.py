@@ -316,6 +316,16 @@ class TestCgDtypeAndDeviceModeGuards:
         with pytest.raises(ValueError, match="point-major"):
             solver.solve(opts)
 
+    def test_time_iterations_typo_rejected(self):
+        """Near-miss strings ('Device') must raise at Options construction
+        instead of silently selecting chunked wall-clock mode."""
+        for bad in ("Device", "dev", "wall"):
+            with pytest.raises(ValueError, match="time_iterations"):
+                lm_options(max_iter=3, time_iterations=bad)
+        # The three valid values still construct.
+        for good in (False, True, "device"):
+            lm_options(max_iter=3, time_iterations=good)
+
     def test_device_mode_refused_pose_only(self):
         from bundle_adjustment_solver_tpu.solvers import pose_only
         from bundle_adjustment_solver_tpu.utils.synthetic import (

@@ -13,26 +13,11 @@ Usage:
 
 import collections
 import glob
-import os
 import pathlib
 import re
-import subprocess
 import sys
 
-os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-
-
-def _compiled_dir() -> str:
-    here = pathlib.Path(__file__).resolve().parent
-    out = here / "_xplane_pb"
-    if not (out / "xplane_pb2.py").exists():
-        out.mkdir(exist_ok=True)
-        subprocess.run(
-            ["protoc", f"--proto_path={here}", f"--python_out={out}",
-             str(here / "xplane.proto")],
-            check=True,
-        )
-    return str(out)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
@@ -44,8 +29,11 @@ def main() -> int:
     if not paths:
         print(f"no xplane.pb under {trace_dir}")
         return 1
-    sys.path.insert(0, _compiled_dir())
-    import xplane_pb2
+    # Shared protoc-compile helper (single source of truth for the
+    # xplane.proto build; see utils/profiling._xplane_pb2).
+    from bundle_adjustment_solver_tpu.utils.profiling import _xplane_pb2
+
+    xplane_pb2 = _xplane_pb2()
 
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(paths[-1], "rb").read())
