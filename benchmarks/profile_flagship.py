@@ -64,6 +64,9 @@ def main():
         cg_max_iterations=25,
         cg_tolerance=0.0,
         cg_forcing=CG_FORCING,
+        # BENCH_FUSED_CG=0 profiles the unfused PCG path for A/B device-
+        # time comparison against the fused cg_step kernel (the default).
+        cg_fused_step=os.environ.get("BENCH_FUSED_CG", "1") != "0",
     )
 
     def run():

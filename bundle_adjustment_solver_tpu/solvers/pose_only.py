@@ -1595,20 +1595,17 @@ def solve_stereo_6dof_batched(
     )
 
 
-def solve_stereo_6dof_batched_compacting(
-    points,
-    pixels_left,
-    pixels_right,
-    valid,
-    intrinsics_left,
-    intrinsics_right,
-    pose_left_to_right,
-    poses,
+def _compacting_solve(
+    frame_arrays,
+    pose_slot: int,
+    valid_slot: int,
+    solve_fn,
     options: Options,
-    check_every: int = 8,
-    min_bucket: int = 64,
+    check_every: int,
+    min_bucket: int,
+    carry_pose=None,
 ) -> PoseOnlyResult:
-    """Batched stereo 6-DoF with periodic STRAGGLER COMPACTION.
+    """Generic STRAGGLER-COMPACTION driver core (all four batched modes).
 
     The lockstep batched loop pays a full kernel pass for every frame until
     the LAST frame converges; on a realistic mixed-difficulty batch the
@@ -1621,6 +1618,16 @@ def solve_stereo_6dof_batched_compacting(
     gather -- the layout is frame-per-lane), so stragglers iterate in a
     shrunken batch.
 
+    `frame_arrays` is a tuple of per-frame (B, ...) arrays re-packed
+    between segments; `solve_fn(arrays, options)` runs the lockstep batched
+    solver on one bucket; `pose_slot` names the array that carries the
+    pose estimate between segments and `valid_slot` the per-point validity
+    mask (cleared on padding rows). `carry_pose(res, arrays)` maps a
+    segment result to the next segment's pose-slot value -- `res.pose` by
+    default (6-DoF modes); the planar modes reconstruct the world-to-
+    current pose T_wl @ T_cb @ res.pose from the relative-pose result
+    convention (cf. _planar_result, reference cpp:549-550).
+
     Cost model: each segment boundary costs one dispatch + mask fetch
     (~40-85 ms through a device tunnel, ~0.1 ms directly attached) against
     kernel savings of (retired_frames / batch) x segment kernel time --
@@ -1628,23 +1635,24 @@ def solve_stereo_6dof_batched_compacting(
     at the 2048 x 256 scale through the tunnel (documented in PERF.md).
 
     Semantics vs the lockstep solver: identical GN trajectory per frame
-    (the update is memoryless), except that `err_prev` resets at segment
-    boundaries, so a frame converging by the COST-CHANGE criterion exactly
-    at a boundary may run up to one extra segment; the step-size criterion
-    is unaffected. Requires record_history=False (the reference's
-    summary == nullptr mode) and the shared-rig fused path.
+    (the update is memoryless; for the planar modes the restarted prior
+    theta equals the previous segment's final theta identically), except
+    that `err_prev` resets at segment boundaries, so a frame converging by
+    the COST-CHANGE criterion exactly at a boundary may run up to one
+    extra segment; the step-size criterion is unaffected. Requires
+    record_history=False (the reference's summary == nullptr mode) and a
+    shared rig (per-frame intrinsics/extrinsics are not re-packed).
     """
     if getattr(options, "record_history", True):
         raise ValueError(
             "compacting driver requires Options.record_history=False"
         )
-    B, P = points.shape[0], points.shape[1]
+    if carry_pose is None:
+        def carry_pose(res, arrays):
+            return res.pose
+    cur = tuple(jnp.asarray(a) for a in frame_arrays)
+    B, P = cur[valid_slot].shape[0], cur[valid_slot].shape[1]
     total_max = options.iteration_handle.max_num_iterations
-    points = jnp.asarray(points)
-    pixels_left = jnp.asarray(pixels_left)
-    pixels_right = jnp.asarray(pixels_right)
-    valid = jnp.asarray(valid)
-    poses_cur = jnp.asarray(poses)
 
     import numpy as onp
 
@@ -1662,17 +1670,12 @@ def solve_stereo_6dof_batched_compacting(
         return min(b, B)
 
     active = onp.arange(B)
-    cur = (points, pixels_left, pixels_right, valid, poses_cur)
     used = 0
     while used < total_max and active.size:
         seg = min(check_every, total_max - used)
         o = options.replace(iteration_handle=IterationHandle(seg))
-        res = solve_stereo_6dof_batched(
-            cur[0], cur[1], cur[2], cur[3],
-            intrinsics_left, intrinsics_right, pose_left_to_right,
-            cur[4], o,
-        )
-        nb = cur[0].shape[0]
+        res = solve_fn(cur, o)
+        nb = cur[valid_slot].shape[0]
         live = onp.arange(active.size)  # rows of this bucket that are real
         conv_seg = onp.asarray(res.converged)[:nb][: active.size]
         it_seg = onp.asarray(res.num_iterations)[:nb][: active.size]
@@ -1711,16 +1714,14 @@ def solve_stereo_6dof_batched_compacting(
         idx = jnp.asarray(
             onp.concatenate([keep_rows, onp.zeros(pad, onp.int64)])
         )
-        new_valid = jnp.take(cur[3], idx, axis=0)
-        if pad:
-            new_valid = new_valid.at[active.size:].set(False)
-        cur = (
-            jnp.take(cur[0], idx, axis=0),
-            jnp.take(cur[1], idx, axis=0),
-            jnp.take(cur[2], idx, axis=0),
-            new_valid,
-            jnp.take(res.pose, idx, axis=0),
-        )
+        pose_next = carry_pose(res, cur)
+        new_cur = []
+        for k, arr in enumerate(cur):
+            g = jnp.take(pose_next if k == pose_slot else arr, idx, axis=0)
+            if k == valid_slot and pad:
+                g = g.at[active.size:].set(False)
+            new_cur.append(g)
+        cur = tuple(new_cur)
 
     hist = 1
     return PoseOnlyResult(
@@ -1734,6 +1735,173 @@ def solve_stereo_6dof_batched_compacting(
         num_info=jnp.zeros(B, jnp.int32),
         debug_poses=jnp.zeros((B, hist, 4, 4), jnp.float32),
         num_debug=jnp.zeros(B, jnp.int32),
+    )
+
+
+def _require_shared_rig(*mats):
+    """The compaction driver re-packs only per-frame data; reject per-frame
+    rigs (leading batch axis on intrinsics/extrinsics) loudly."""
+    for name, m, nd in mats:
+        if jnp.asarray(m).ndim != nd:
+            raise ValueError(
+                f"compacting driver requires a shared rig: {name} must be "
+                f"{nd}-D (got shape {jnp.asarray(m).shape})"
+            )
+
+
+def solve_stereo_6dof_batched_compacting(
+    points,
+    pixels_left,
+    pixels_right,
+    valid,
+    intrinsics_left,
+    intrinsics_right,
+    pose_left_to_right,
+    poses,
+    options: Options,
+    check_every: int = 8,
+    min_bucket: int = 64,
+) -> PoseOnlyResult:
+    """Batched stereo 6-DoF with periodic straggler compaction (see
+    `_compacting_solve` for the algorithm and cost model)."""
+    _require_shared_rig(
+        ("intrinsics_left", intrinsics_left, 1),
+        ("intrinsics_right", intrinsics_right, 1),
+        ("pose_left_to_right", pose_left_to_right, 2),
+    )
+    il, ir = jnp.asarray(intrinsics_left), jnp.asarray(intrinsics_right)
+    T_lr = jnp.asarray(pose_left_to_right)
+
+    def solve_fn(arr, o):
+        return solve_stereo_6dof_batched(
+            arr[0], arr[1], arr[2], arr[3], il, ir, T_lr, arr[4], o
+        )
+
+    return _compacting_solve(
+        (points, pixels_left, pixels_right, valid, poses),
+        pose_slot=4, valid_slot=3, solve_fn=solve_fn, options=options,
+        check_every=check_every, min_bucket=min_bucket,
+    )
+
+
+def solve_monocular_6dof_batched_compacting(
+    points,
+    pixels,
+    valid,
+    intrinsics,
+    poses,
+    options: Options,
+    check_every: int = 8,
+    min_bucket: int = 64,
+) -> PoseOnlyResult:
+    """Batched mono 6-DoF with periodic straggler compaction (see
+    `_compacting_solve`)."""
+    _require_shared_rig(("intrinsics", intrinsics, 1))
+    intr = jnp.asarray(intrinsics)
+
+    def solve_fn(arr, o):
+        return solve_monocular_6dof_batched(
+            arr[0], arr[1], arr[2], intr, arr[3], o
+        )
+
+    return _compacting_solve(
+        (points, pixels, valid, poses),
+        pose_slot=3, valid_slot=2, solve_fn=solve_fn, options=options,
+        check_every=check_every, min_bucket=min_bucket,
+    )
+
+
+def _planar_carry_pose(T_bc):
+    """Planar restart carry: the planar solvers return T_b2b1^-1 @ T_bc
+    (_planar_result, reference cpp:549-550) and take a world-to-current
+    initial guess; the exact restart is T_wc = T_wl @ T_cb @ res.pose
+    (the restarted prior theta then equals the previous segment's final
+    theta identically)."""
+    R_bc, t_bc = _to_Rt(jnp.asarray(T_bc))
+    R_cb, t_cb = inverse_se3(R_bc, t_bc)
+    T_cb = _to_T(R_cb, t_cb)
+
+    def carry(res, arrays):
+        T_wl = arrays[-2]  # poses_world_to_last rides just before the slot
+        return jnp.einsum("bij,jk,bkl->bil", T_wl, T_cb, res.pose)
+
+    return carry
+
+
+def solve_monocular_planar3dof_batched_compacting(
+    points,
+    pixels,
+    valid,
+    intrinsics,
+    pose_base_to_camera,
+    poses_world_to_last,
+    poses_world_to_current,
+    options: Options,
+    check_every: int = 8,
+    min_bucket: int = 64,
+) -> PoseOnlyResult:
+    """Batched planar 3-DoF mono with periodic straggler compaction (see
+    `_compacting_solve`)."""
+    _require_shared_rig(
+        ("intrinsics", intrinsics, 1),
+        ("pose_base_to_camera", pose_base_to_camera, 2),
+    )
+    intr = jnp.asarray(intrinsics)
+    T_bc = jnp.asarray(pose_base_to_camera)
+
+    def solve_fn(arr, o):
+        return solve_monocular_planar3dof_batched(
+            arr[0], arr[1], arr[2], intr, T_bc, arr[3], arr[4], o
+        )
+
+    return _compacting_solve(
+        (points, pixels, valid, poses_world_to_last,
+         poses_world_to_current),
+        pose_slot=4, valid_slot=2, solve_fn=solve_fn, options=options,
+        check_every=check_every, min_bucket=min_bucket,
+        carry_pose=_planar_carry_pose(T_bc),
+    )
+
+
+def solve_stereo_planar3dof_batched_compacting(
+    points,
+    pixels_left,
+    pixels_right,
+    valid,
+    intrinsics_left,
+    intrinsics_right,
+    pose_base_to_camera,
+    pose_left_to_right,
+    poses_world_to_last,
+    poses_world_to_current,
+    options: Options,
+    check_every: int = 8,
+    min_bucket: int = 64,
+) -> PoseOnlyResult:
+    """Batched planar 3-DoF stereo with periodic straggler compaction (see
+    `_compacting_solve`)."""
+    _require_shared_rig(
+        ("intrinsics_left", intrinsics_left, 1),
+        ("intrinsics_right", intrinsics_right, 1),
+        ("pose_base_to_camera", pose_base_to_camera, 2),
+        ("pose_left_to_right", pose_left_to_right, 2),
+    )
+    il, ir = jnp.asarray(intrinsics_left), jnp.asarray(intrinsics_right)
+    T_bc = jnp.asarray(pose_base_to_camera)
+    T_lr = jnp.asarray(pose_left_to_right)
+
+    def solve_fn(arr, o):
+        return solve_stereo_planar3dof_batched(
+            arr[0], arr[1], arr[2], arr[3], il, ir, T_bc, T_lr,
+            arr[4], arr[5], o
+        )
+
+    return _compacting_solve(
+        (points, pixels_left, pixels_right, valid, poses_world_to_last,
+         poses_world_to_current),
+        pose_slot=5, valid_slot=3, solve_fn=solve_fn, options=options,
+        check_every=check_every, min_bucket=min_bucket,
+        carry_pose=_planar_carry_pose(T_bc),
     )
 
 

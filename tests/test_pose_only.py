@@ -652,3 +652,92 @@ class TestCompactingBatched:
                 jnp.zeros(4), jnp.zeros(4), jnp.eye(4),
                 jnp.tile(jnp.eye(4), (2, 1, 1)), make_options(),
             )
+
+    def test_requires_shared_rig(self):
+        opts = make_options(max_iter=4).replace(record_history=False)
+        with pytest.raises(ValueError, match="shared rig"):
+            pose_only.solve_monocular_6dof_batched_compacting(
+                jnp.zeros((2, 8, 3)), jnp.zeros((2, 8, 2)),
+                jnp.ones((2, 8), bool), jnp.zeros((2, 4)),
+                jnp.tile(jnp.eye(4), (2, 1, 1)), opts,
+            )
+
+    def test_mono_matches_lockstep(self):
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            batched_stereo_pose_only_problem,
+        )
+
+        B, P = 16, 64
+        prob = batched_stereo_pose_only_problem(
+            num_frames=B, points_per_frame=P, seed=23, pixel_noise=0.3
+        )
+        pts = jnp.asarray(prob.points, jnp.float32)
+        pixl = jnp.asarray(prob.pixels_left, jnp.float32)
+        valid = jnp.ones((B, P), bool)
+        intr = jnp.asarray(prob.intrinsics, jnp.float32)
+        poses0 = jnp.asarray(prob.poses_initial, jnp.float32)
+        opts = make_options(max_iter=40, thr=1e-6).replace(
+            record_history=False
+        )
+        ref = pose_only.solve_monocular_6dof_batched(
+            pts, pixl, valid, intr, poses0, opts
+        )
+        cmp = pose_only.solve_monocular_6dof_batched_compacting(
+            pts, pixl, valid, intr, poses0, opts,
+            check_every=6, min_bucket=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cmp.converged), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cmp.pose), np.asarray(ref.pose), atol=1e-4
+        )
+
+    @pytest.mark.parametrize("stereo", [False, True])
+    def test_planar_matches_lockstep(self, stereo):
+        """Planar restart carry (T_wc = T_wl @ T_cb @ res.pose) must make
+        the compacted trajectory match lockstep per frame."""
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            batched_planar_pose_only_problem,
+        )
+
+        B, P = 16, 64
+        prob = batched_planar_pose_only_problem(
+            num_frames=B, points_per_frame=P, seed=29, stereo=stereo,
+            pixel_noise=0.3,
+        )
+        pts = jnp.asarray(prob.points, jnp.float32)
+        pixl = jnp.asarray(prob.pixels_left, jnp.float32)
+        valid = jnp.ones((B, P), bool)
+        intr = jnp.asarray(prob.intrinsics, jnp.float32)
+        T_bc = jnp.asarray(prob.base_to_camera, jnp.float32)
+        T_wl = jnp.asarray(prob.poses_world_to_last, jnp.float32)
+        T_wc0 = jnp.asarray(prob.poses_world_to_current_init, jnp.float32)
+        opts = make_options(max_iter=40, thr=1e-6).replace(
+            record_history=False
+        )
+        if stereo:
+            pixr = jnp.asarray(prob.pixels_right, jnp.float32)
+            T_lr = jnp.asarray(prob.pose_left_to_right, jnp.float32)
+            ref = pose_only.solve_stereo_planar3dof_batched(
+                pts, pixl, pixr, valid, intr, intr, T_bc, T_lr, T_wl,
+                T_wc0, opts,
+            )
+            cmp = pose_only.solve_stereo_planar3dof_batched_compacting(
+                pts, pixl, pixr, valid, intr, intr, T_bc, T_lr, T_wl,
+                T_wc0, opts, check_every=6, min_bucket=4,
+            )
+        else:
+            ref = pose_only.solve_monocular_planar3dof_batched(
+                pts, pixl, valid, intr, T_bc, T_wl, T_wc0, opts
+            )
+            cmp = pose_only.solve_monocular_planar3dof_batched_compacting(
+                pts, pixl, valid, intr, T_bc, T_wl, T_wc0, opts,
+                check_every=6, min_bucket=4,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(cmp.converged), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cmp.pose), np.asarray(ref.pose), atol=1e-4
+        )
