@@ -69,9 +69,21 @@ def main() -> int:
         jnp.asarray(prob.poses_initial, jnp.float32),
     )
 
-    res = pose_only.solve_stereo_6dof_batched(*args, opts)  # compile
+    # --compact: straggler-compaction driver (solve_*_batched_compacting)
+    # -- retires converged frames between 8-iteration segments instead of
+    # paying full lockstep passes until the LAST frame converges (~95%
+    # wasted lane-passes on mixed batches, benchmarks/straggler_study.json;
+    # pays off on directly-attached TPUs where dispatch is ~0.1 ms).
+    compact = "--compact" in sys.argv
+
+    def solve():
+        if compact:
+            return pose_only.solve_stereo_6dof_batched_compacting(*args, opts)
+        return pose_only.solve_stereo_6dof_batched(*args, opts)
+
+    res = solve()  # compile
     t0 = time.perf_counter()
-    res = pose_only.solve_stereo_6dof_batched(*args, opts)
+    res = solve()
     np.asarray(res.pose[0, 0, 0])  # sync
     dt = time.perf_counter() - t0
 
@@ -80,7 +92,8 @@ def main() -> int:
         poses[:, :3, 3] - prob.poses_true[:, :3, 3], axis=-1
     )
     iters = np.asarray(res.num_iterations)
-    print(f"{B} frames x {P} points, warm solve: {dt * 1e3:.1f} ms")
+    mode = "compacting" if compact else "lockstep"
+    print(f"{B} frames x {P} points, warm {mode} solve: {dt * 1e3:.1f} ms")
     print(
         f"success {int(np.asarray(res.success).sum())}/{B}, "
         f"converged {int(np.asarray(res.converged).sum())}/{B}, "
