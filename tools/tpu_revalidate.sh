@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Round-3 TPU revalidation sequence (run when the tunnel is back).
+# Each stage appends to /tmp/tpu_revalidate.log; stages are ordered so an
+# early compile failure of the new fused CG kernel surfaces before the
+# long bench capture.
+set -x
+LOG=/tmp/tpu_revalidate.log
+cd "$(dirname "$0")/.." || exit 1
+{
+  echo "=== $(date) stage 1: kernel stress (fused CG on by default) ==="
+  timeout 1800 python tools/stress_parity.py 6
+
+  echo "=== $(date) stage 2: fused-vs-unfused flagship profile (20 LM iters) ==="
+  timeout 2400 python benchmarks/profile_flagship.py 20
+  echo "--- unfused A/B ---"
+  BENCH_FUSED_CG=0 timeout 2400 python benchmarks/profile_flagship.py 20
+
+  echo "=== $(date) stage 3: full bench recapture ==="
+  timeout 5400 python bench.py
+
+  echo "=== $(date) done ==="
+} >>"$LOG" 2>&1
