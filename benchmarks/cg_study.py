@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from bundle_adjustment_solver_tpu.models.problem import finalized_from_arrays
+
 from bundle_adjustment_solver_tpu.options import (
     ConvergenceHandle,
     IterationHandle,
@@ -33,7 +33,7 @@ from bundle_adjustment_solver_tpu.options import (
     SolverType,
 )
 from bundle_adjustment_solver_tpu.solvers import full_ba_pm
-from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
+from bundle_adjustment_solver_tpu.utils.synthetic import corridor_problem_on_device
 
 NUM_POSES = int(os.environ.get("BENCH_POSES", 10_000))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 1_000_000))
@@ -45,20 +45,9 @@ def _fetch(x):
 
 
 def build():
-    prob = corridor_ba_problem(
-        num_poses=NUM_POSES, num_points=NUM_POINTS, window=6, seed=123
+    problem, shape, _host, pm, pshape = corridor_problem_on_device(
+        NUM_POSES, NUM_POINTS, window=6, seed=123
     )
-    fixed_pose = np.zeros(NUM_POSES, dtype=bool)
-    fixed_pose[prob.fixed_pose_ids] = True
-    problem, shape, host = finalized_from_arrays(
-        prob.cameras, prob.poses_initial, prob.points_initial,
-        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
-        fixed_pose_mask=fixed_pose, return_host=True,
-    )
-    dev = jax.devices()[0]
-    problem = jax.device_put(problem, dev)
-    pm, pshape = full_ba_pm.pm_from_finalized(problem, shape, host=host)
-    pm = jax.device_put(pm, dev)
     return problem, shape, pm, pshape
 
 

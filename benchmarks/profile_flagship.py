@@ -12,6 +12,7 @@ Usage (real chip):  python benchmarks/profile_flagship.py [lm_iters]
 Then read the printed table; raw trace stays under /tmp/flagship_trace.
 """
 
+import json
 import os
 import subprocess
 import sys
@@ -23,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from bundle_adjustment_solver_tpu.models.problem import finalized_from_arrays
+
 from bundle_adjustment_solver_tpu.options import (
     ConvergenceHandle,
     IterationHandle,
@@ -31,7 +32,7 @@ from bundle_adjustment_solver_tpu.options import (
     SolverType,
 )
 from bundle_adjustment_solver_tpu.solvers import full_ba_pm
-from bundle_adjustment_solver_tpu.utils.synthetic import corridor_ba_problem
+from bundle_adjustment_solver_tpu.utils.synthetic import corridor_problem_on_device
 
 NUM_POSES = int(os.environ.get("BENCH_POSES", 10_000))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 1_000_000))
@@ -41,20 +42,9 @@ CG_FORCING = os.environ.get("BENCH_CG", "ew")
 
 def main():
     print("devices:", jax.devices())
-    prob = corridor_ba_problem(
-        num_poses=NUM_POSES, num_points=NUM_POINTS, window=6, seed=123
+    problem, shape, _host, pm, pshape = corridor_problem_on_device(
+        NUM_POSES, NUM_POINTS, window=6, seed=123
     )
-    fixed_pose = np.zeros(NUM_POSES, dtype=bool)
-    fixed_pose[prob.fixed_pose_ids] = True
-    problem, shape, host = finalized_from_arrays(
-        prob.cameras, prob.poses_initial, prob.points_initial,
-        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
-        fixed_pose_mask=fixed_pose, return_host=True,
-    )
-    dev = jax.devices()[0]
-    problem = jax.device_put(problem, dev)
-    pm, pshape = full_ba_pm.pm_from_finalized(problem, shape, host=host)
-    pm = jax.device_put(pm, dev)
 
     opts = Options(
         solver_type=SolverType.LEVENBERG_MARQUARDT,
@@ -74,21 +64,48 @@ def main():
             pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
             problem.opt_pose_idx, opts, interpret=False,
         )
-        return float(np.asarray(out[7]))
+        float(np.asarray(out[7]))  # one scalar fetch = sync
+        return out
 
     run()  # compile + warm
     t0 = time.perf_counter()
-    run()
+    out = run()
     wall = time.perf_counter() - t0
     print(f"wall: {wall*1e3:.1f} ms for {LM_ITERS} LM iters "
           f"({wall*1e3/LM_ITERS:.2f} ms/iter, forcing={CG_FORCING})")
 
+    # Persist the measured phase-split inputs of the SCALING.json ICI
+    # projection (benchmarks/scaling.py reads this file when present, so a
+    # bench/profile recapture refreshes the projection mechanically).
+    from bundle_adjustment_solver_tpu.summary import INFO_CG_ITERS
+
+    info = np.asarray(out[5])[:LM_ITERS]
+    cg_iters = info[:, INFO_CG_ITERS].astype(int)
+    here = os.path.dirname(os.path.abspath(__file__))
+    fused = os.environ.get("BENCH_FUSED_CG", "1") != "0"
+    artifact = {
+        "num_poses": NUM_POSES,
+        "num_points": NUM_POINTS,
+        "lm_iters": LM_ITERS,
+        "cg_forcing": CG_FORCING,
+        "cg_fused_step": fused,
+        "lm_iter_ms": round(wall * 1e3 / LM_ITERS, 3),
+        "cg_per_lm": round(float(cg_iters.sum()) / LM_ITERS, 3),
+    }
+    # Only the DEFAULT configuration feeds the projection: an A/B run of
+    # the unfused path (BENCH_FUSED_CG=0) must not overwrite it.
+    if fused and CG_FORCING == "ew" and NUM_POSES == 10_000:
+        with open(os.path.join(here, "flagship_profile.json"), "w") as f:
+            json.dump(artifact, f, indent=1)
+        print("wrote", os.path.join(here, "flagship_profile.json"))
+    print(json.dumps(artifact))
+
     trace_dir = "/tmp/flagship_trace"
     with jax.profiler.trace(trace_dir):
         run()
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(here)
     subprocess.run(
-        [sys.executable, os.path.join(here, "tools", "parse_xplane.py"),
+        [sys.executable, os.path.join(root, "tools", "parse_xplane.py"),
          trace_dir, "40"],
         check=True,
     )

@@ -54,6 +54,33 @@ FLAGSHIP_REPLICATED_MS = 5.0  # PERF.md round-2 "XLA glue" bound (pose-side)
 FLAGSHIP_CG_PER_LM = 3.14  # cg_study schur_ew_cap25: 157 CG / 50 LM
 
 
+def _flagship_measured():
+    """Measured phase-split inputs for the ICI projection.
+
+    Prefers benchmarks/flagship_profile.json (written by
+    profile_flagship.py on the real chip in its default configuration) so a
+    bench recapture refreshes the projection mechanically; falls back to
+    the documented constants above. Returns (lm_iter_ms, replicated_ms,
+    cg_per_lm, source)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "flagship_profile.json")
+    try:
+        with open(path) as f:
+            prof = json.load(f)
+        return (
+            float(prof["lm_iter_ms"]),
+            float(prof.get("replicated_ms", FLAGSHIP_REPLICATED_MS)),
+            float(prof["cg_per_lm"]),
+            "benchmarks/flagship_profile.json",
+        )
+    except (OSError, KeyError, ValueError):
+        return (FLAGSHIP_LM_ITER_MS, FLAGSHIP_REPLICATED_MS,
+                FLAGSHIP_CG_PER_LM, "module constants (PERF.md round-3)")
+
+
 def ici_projection(num_opt_poses: int, lm_iter_ms: float,
                    replicated_ms: float, cg_per_lm: float,
                    device_counts) -> list[dict]:
@@ -222,9 +249,9 @@ def main() -> int:
              "final_cost": cost}
         )
 
+    lm_iter_ms, replicated_ms, cg_per_lm, split_source = _flagship_measured()
     projection = ici_projection(
-        10_000, FLAGSHIP_LM_ITER_MS, FLAGSHIP_REPLICATED_MS,
-        FLAGSHIP_CG_PER_LM, [1, 2, 4, 8, 16, 32],
+        10_000, lm_iter_ms, replicated_ms, cg_per_lm, [1, 2, 4, 8, 16, 32],
     )
     print("\nICI projection (flagship 10k/1M, measured phase split):")
     print(f"{'devices':>8} {'lm_iter_ms':>11} {'comm_ms':>8} {'efficiency':>11}")
@@ -244,15 +271,15 @@ def main() -> int:
             "assumptions": {
                 "ici_ring_bw_bytes_per_s": ICI_RING_BW,
                 "latency_per_psum_s": ICI_LATENCY_PER_PSUM,
-                "lm_iter_ms_1chip_measured": FLAGSHIP_LM_ITER_MS,
-                "replicated_pose_side_ms": FLAGSHIP_REPLICATED_MS,
-                "cg_iters_per_lm_measured": FLAGSHIP_CG_PER_LM,
-                "source": "PERF.md round-3; benchmarks/cg_study.json",
+                "lm_iter_ms_1chip_measured": lm_iter_ms,
+                "replicated_pose_side_ms": replicated_ms,
+                "cg_iters_per_lm_measured": cg_per_lm,
+                "source": split_source,
             },
             "rows": projection,
         },
         "comm_model_per_lm_iteration": comm_volume_model(
-            10_000, int(round(FLAGSHIP_CG_PER_LM))
+            10_000, int(round(cg_per_lm))
         ),
         "virtual_mesh_check": {
             "mode": args.mode,

@@ -166,7 +166,19 @@ def _damped_solve(JtWJ, g, dim):
     frames -- both directions measured).
     """
     H = JtWJ + jnp.diag(jnp.diag(JtWJ)) * _FIXED_LAMBDA
-    return jnp.linalg.solve(H, -g)
+    delta = jnp.linalg.solve(H, -g)
+    # A frame with no valid observations (e.g. a compaction padding row)
+    # has an exactly-ZERO system: LU back-substitution emits NaN/inf, which
+    # would poison step_norm and keep the frame "unconverged" forever. Give
+    # those frames a zero step (they converge on their first iteration),
+    # matching the fused kernels' det-floored adjugate semantics. The guard
+    # keys on the INPUT being all-zero, not on the output being non-finite,
+    # so genuinely broken systems (e.g. NaN residuals from z=0 points)
+    # still propagate to the solver's NaN failure guard (success=False).
+    zero_sys = jnp.logical_and(
+        jnp.all(JtWJ == 0.0), jnp.all(g == 0.0)
+    )
+    return jnp.where(zero_sys, jnp.zeros_like(delta), delta)
 
 
 def _record_iteration(
@@ -1647,11 +1659,30 @@ def _compacting_solve(
         raise ValueError(
             "compacting driver requires Options.record_history=False"
         )
+    if getattr(options, "outlier_mask", "final") == "reference":
+        # Sticky masks carry err_prev-style state ACROSS iterations; the
+        # segment restarts would silently reset them, so the reported
+        # mask_inlier would diverge from the lockstep result.
+        raise ValueError(
+            "compacting driver does not support outlier_mask='reference' "
+            "(sticky masks reset at segment boundaries); use the lockstep "
+            "batched solver"
+        )
     if carry_pose is None:
         def carry_pose(res, arrays):
             return res.pose
     cur = tuple(jnp.asarray(a) for a in frame_arrays)
     B, P = cur[valid_slot].shape[0], cur[valid_slot].shape[1]
+    if options.pallas == "auto":
+        # Pin the engine for the WHOLE solve: re-packing shrinks the
+        # bucket, and letting every segment re-resolve the fused gate
+        # (B*P >= 4096) would silently switch engines -- and f32
+        # accumulation order -- mid-solve once survivors drop below the
+        # threshold.
+        options = options.replace(
+            pallas="always" if _use_fused_batched(options, B, P)
+            else "never"
+        )
     total_max = options.iteration_handle.max_num_iterations
 
     import numpy as onp

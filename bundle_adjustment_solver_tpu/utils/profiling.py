@@ -115,10 +115,16 @@ def device_iteration_times_ms(
     )
     if not paths:
         return []
-    xplane_pb2 = _xplane_pb2()
-    xs = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xs.ParseFromString(f.read())
+    try:
+        # Degrade, never crash a completed solve: protoc may be absent from
+        # PATH or the tools/ checkout read-only, and this runs AFTER the
+        # solve finished (Summary reports iter_time = -1 on []).
+        xplane_pb2 = _xplane_pb2()
+        xs = xplane_pb2.XSpace()
+        with open(paths[-1], "rb") as f:
+            xs.ParseFromString(f.read())
+    except Exception:
+        return []
     for plane in xs.planes:
         if "TPU" not in plane.name:
             continue

@@ -544,3 +544,47 @@ def batched_planar_pose_only_problem(
         poses_world_to_current_true=T_wc_true,
         theta_true=theta,
     )
+
+
+def corridor_problem_on_device(
+    num_poses: int,
+    num_points: int,
+    window: int = 6,
+    seed: int = 123,
+    build_pm: bool = True,
+):
+    """Build the benchmark corridor problem, finalized and device-resident.
+
+    The SHARED builder behind every flagship-scale benchmark harness
+    (bench.py, benchmarks/cg_study.py, benchmarks/profile_flagship.py): one
+    place defines the seed / window / fixed-pose policy, so all captured
+    artifacts measure the SAME problem. Returns
+    ``(problem, shape, host, pm, pshape)`` -- ``pm``/``pshape`` are the
+    point-major tables (None when ``build_pm=False``, e.g. for the
+    observation-table engine). The problem and tables are `device_put` once
+    up front: production solvers keep state resident, and per-call H2D is
+    expensive through a device tunnel (CLAUDE.md).
+    """
+    import jax
+
+    from ..models.problem import finalized_from_arrays  # lazy: avoid cycle
+
+    prob = corridor_ba_problem(
+        num_poses=num_poses, num_points=num_points, window=window, seed=seed
+    )
+    fixed_pose = np.zeros(num_poses, dtype=bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    problem, shape, host = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed_pose, return_host=True,
+    )
+    dev = jax.devices()[0]
+    problem = jax.device_put(problem, dev)
+    pm = pshape = None
+    if build_pm:
+        from ..solvers import full_ba_pm  # lazy: avoid cycle
+
+        pm, pshape = full_ba_pm.pm_from_finalized(problem, shape, host=host)
+        pm = jax.device_put(pm, dev)
+    return problem, shape, host, pm, pshape

@@ -892,3 +892,19 @@ def test_time_iterations_device_mode_cpu_fallback():
     assert all(
         oi.iter_time == -1.0 for oi in sum_dev.optimization_info_list
     )
+
+
+def test_device_iteration_times_degrades_without_protoc(tmp_path, monkeypatch):
+    """Trace parsing must degrade to [] (iter_time = -1), never crash a
+    COMPLETED solve, when protoc is missing or the proto compile fails."""
+    from bundle_adjustment_solver_tpu.utils import profiling
+
+    d = tmp_path / "plugins" / "profile" / "run"
+    d.mkdir(parents=True)
+    (d / "host.xplane.pb").write_bytes(b"\x00")
+
+    def boom():
+        raise FileNotFoundError("protoc not found")
+
+    monkeypatch.setattr(profiling, "_xplane_pb2", boom)
+    assert profiling.device_iteration_times_ms(str(tmp_path)) == []

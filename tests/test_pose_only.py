@@ -662,6 +662,82 @@ class TestCompactingBatched:
                 jnp.tile(jnp.eye(4), (2, 1, 1)), opts,
             )
 
+    def test_rejects_reference_mask(self):
+        """Sticky masks reset at segment boundaries, so the driver must
+        refuse outlier_mask='reference' instead of silently diverging from
+        the lockstep mask."""
+        opts = make_options(max_iter=4).replace(
+            record_history=False, outlier_mask="reference"
+        )
+        with pytest.raises(ValueError, match="outlier_mask"):
+            pose_only.solve_stereo_6dof_batched_compacting(
+                jnp.zeros((2, 8, 3)), jnp.zeros((2, 8, 2)),
+                jnp.zeros((2, 8, 2)), jnp.ones((2, 8), bool),
+                jnp.zeros(4), jnp.zeros(4), jnp.eye(4),
+                jnp.tile(jnp.eye(4), (2, 1, 1)), opts,
+            )
+
+    def test_zero_system_zero_step(self):
+        """A frame with no valid observations (compaction padding row) must
+        take a ZERO step on the vmap path, not a NaN one -- otherwise pad
+        rows never converge and gate every compaction segment."""
+        delta = pose_only._damped_solve(jnp.zeros((6, 6)), jnp.zeros(6), 6)
+        np.testing.assert_array_equal(np.asarray(delta), np.zeros(6))
+
+    def test_all_invalid_frame_converges_immediately(self):
+        """End-to-end form of the padding-row guarantee: an all-invalid
+        frame in the vmap batched engine converges on its first iteration
+        with an unchanged pose."""
+        B, P = 2, 16
+        pts = jnp.ones((B, P, 3), jnp.float32)
+        pix = jnp.zeros((B, P, 2), jnp.float32)
+        valid = jnp.zeros((B, P), bool).at[0].set(True)
+        intr = jnp.asarray([500.0, 500.0, 320.0, 240.0], jnp.float32)
+        poses0 = jnp.tile(jnp.eye(4, dtype=jnp.float32), (B, 1, 1))
+        opts = make_options(max_iter=10, thr=1e-6).replace(
+            record_history=False, pallas="never"
+        )
+        res = pose_only.solve_monocular_6dof_batched(
+            pts, pix, valid, intr, poses0, opts
+        )
+        assert bool(np.asarray(res.converged)[1])
+        assert int(np.asarray(res.num_iterations)[1]) == 1
+        np.testing.assert_allclose(
+            np.asarray(res.pose)[1], np.eye(4), atol=1e-6
+        )
+
+    def test_engine_pinned_across_segments(self):
+        """The fused-kernel gate must be resolved ONCE for the whole
+        compacting solve: re-packing shrinks the bucket below the B*P
+        auto-gate threshold, and a mid-solve engine switch would change the
+        f32 accumulation order (and pad-row semantics) between segments."""
+        seen = []
+
+        def solve_fn(arr, o):
+            seen.append(o.pallas)
+            B = arr[1].shape[0]
+            return pose_only.PoseOnlyResult(
+                pose=arr[0],
+                mask_inlier=arr[1],
+                mask_inlier_right=arr[1],
+                success=jnp.ones(B, bool),
+                converged=jnp.zeros(B, bool),  # nobody converges
+                num_iterations=jnp.full(B, 2, jnp.int32),
+                info=jnp.zeros((B, 1, pose_only.INFO_NUM_COLS), jnp.float32),
+                num_info=jnp.zeros(B, jnp.int32),
+                debug_poses=jnp.zeros((B, 1, 4, 4), jnp.float32),
+                num_debug=jnp.zeros(B, jnp.int32),
+            )
+
+        opts = make_options(max_iter=6).replace(record_history=False)
+        pose_only._compacting_solve(
+            (jnp.tile(jnp.eye(4, dtype=jnp.float32), (4, 1, 1)),
+             jnp.ones((4, 8), bool)),
+            pose_slot=0, valid_slot=1, solve_fn=solve_fn, options=opts,
+            check_every=2, min_bucket=2,
+        )
+        assert seen and all(p != "auto" for p in seen), seen
+
     def test_mono_matches_lockstep(self):
         from bundle_adjustment_solver_tpu.utils.synthetic import (
             batched_stereo_pose_only_problem,

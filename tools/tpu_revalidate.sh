@@ -18,5 +18,9 @@ cd "$(dirname "$0")/.." || exit 1
   echo "=== $(date) stage 3: full bench recapture ==="
   timeout 5400 python bench.py
 
+  echo "=== $(date) stage 4: SCALING.json refresh (reads the stage-2 flagship_profile.json phase split) ==="
+  JAX_PLATFORMS=cpu PYTHONPATH= XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    timeout 1800 python benchmarks/scaling.py --impl pm --mode weak
+
   echo "=== $(date) done ==="
 } >>"$LOG" 2>&1
