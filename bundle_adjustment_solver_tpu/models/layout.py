@@ -150,26 +150,22 @@ def build_point_major(
 
     C = int(num_cameras)
 
-    # Duplicate (landmark, pose, camera) observations are two residuals in
-    # the observation-table engines (and in the reference, which appends on
-    # AddObservation), but the point-major planes have exactly one cell per
-    # (slot, camera) -- a duplicate would silently overwrite its sibling and
-    # change the problem. Fall back to the observation-table path instead.
-    triple = (
-        obs_point.astype(np.int64) * (N * C)
-        + obs_pose.astype(np.int64) * C
-        + obs_cam.astype(np.int64)
+    from ..utils.native import (
+        DUPLICATE_OBSERVATION,
+        pm_fill,
+        pm_probe,
+        pm_windows,
     )
-    if np.unique(triple).size != O:
-        return None
-
-    from ..utils.native import pm_fill, pm_probe
 
     filled = None
     probe = pm_probe(obs_pose, obs_point, M, N)
     if probe is not None:
-        # Native path (csrc/problem_compiler.cpp): serial O(n) bucket passes,
-        # ~35x the vectorized-numpy fallback at 12M observations.
+        # Native path (csrc/problem_compiler.cpp): counting-sort bucket
+        # passes with an OpenMP per-point fill, ~35x the vectorized-numpy
+        # fallback at 12M observations. Duplicate (landmark, pose, camera)
+        # observations are detected DURING the fill (the planes have one
+        # cell per slot-camera; a duplicate would silently overwrite its
+        # sibling residual) -- no separate O(n log n) uniqueness pre-pass.
         kp_max, _, min_pose = probe
         if kp_max > max_slots:
             return None
@@ -184,11 +180,25 @@ def build_point_major(
             obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
             point_is_opt, rank_of_point, n_opt, C, Kp, Mp,
         )
+        if filled is DUPLICATE_OBSERVATION:
+            # Two residuals for one plane cell: fall back to the
+            # observation-table engine (which, like the reference's
+            # AddObservation append, keeps both).
+            return None
     if filled is not None:
-        u_plane, v_plane, valid_plane, slot_pose, slot_opt, X, point_ref = (
-            filled
-        )
+        obs_f32, slot_pose, slot_opt, X, point_ref = filled
+        kc = Kp * C
+        valid_plane = obs_f32[2 * kc:]  # view into the [u|v|valid] stack
     else:
+        # Duplicate check for the numpy path (the native fill detects these
+        # in-pass; see above).
+        triple = (
+            obs_point.astype(np.int64) * (N * C)
+            + obs_pose.astype(np.int64) * C
+            + obs_cam.astype(np.int64)
+        )
+        if np.unique(triple).size != O:
+            return None
         # Vectorized-numpy fallback: group observations by (landmark, pose);
         # each (i, j) pair becomes one slot with C camera entries.
         order = np.lexsort((obs_cam, obs_pose, obs_point))
@@ -261,29 +271,38 @@ def build_point_major(
 
         point_ref = np.full(Mp, -1, dtype=np.int32)
         point_ref[rank_of_point] = np.arange(M, dtype=np.int32)
-
-    obs_f32 = np.concatenate([u_plane, v_plane, valid_plane], axis=0)
+        obs_f32 = np.concatenate([u_plane, v_plane, valid_plane], axis=0)
 
     # Per-block pose windows. Padding slots carry pose 0 / opt -1, so only
     # real slots (valid somewhere) constrain the gather window; slot_pose==0
     # on padding is harmless because the window always contains its base.
-    sp_blocks = slot_pose.reshape(Kp, nblocks, bm)
-    has_obs = valid_plane.reshape(C, Kp, Mp).max(axis=0).reshape(Kp, nblocks, bm) > 0
-    big = np.where(has_obs, sp_blocks, np.iinfo(np.int32).max)
-    small = np.where(has_obs, sp_blocks, -1)
-    gmin = big.min(axis=(0, 2))
-    gmax = small.max(axis=(0, 2))
+    # Raw per-block extrema (empty blocks: min = INT32_MAX, max = -1) come
+    # from the native pass when available, the numpy reduction otherwise.
+    win = pm_windows(slot_pose, slot_opt, valid_plane, Kp, C, Mp, bm)
+    if win is not None:
+        gmin, gmax, smin, smax = win
+    else:
+        sp_blocks = slot_pose.reshape(Kp, nblocks, bm)
+        has_obs = (
+            valid_plane.reshape(C, Kp, Mp).max(axis=0)
+            .reshape(Kp, nblocks, bm) > 0
+        )
+        gmin = np.where(
+            has_obs, sp_blocks, np.iinfo(np.int32).max
+        ).min(axis=(0, 2))
+        gmax = np.where(has_obs, sp_blocks, -1).max(axis=(0, 2))
+        so_blocks = slot_opt.reshape(Kp, nblocks, bm)
+        smin = np.where(
+            so_blocks >= 0, so_blocks, np.iinfo(np.int32).max
+        ).min(axis=(0, 2))
+        smax = so_blocks.max(axis=(0, 2))
+
     empty = gmax < 0
     gmin[empty] = 0
     gmax[empty] = 0
     gbase = (gmin // 8) * 8
     gspan = int((gmax - gbase).max()) + 1 if nblocks else 1
 
-    so_blocks = slot_opt.reshape(Kp, nblocks, bm)
-    sbig = np.where(so_blocks >= 0, so_blocks, np.iinfo(np.int32).max)
-    ssmall = so_blocks
-    smin = sbig.min(axis=(0, 2))
-    smax = ssmall.max(axis=(0, 2))
     sempty = smax < 0
     smin[sempty] = 0
     smax[sempty] = 0

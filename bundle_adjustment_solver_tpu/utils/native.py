@@ -98,6 +98,17 @@ def get_lib() -> ctypes.CDLL | None:
             f32p, f32p, f32p, i32p, i32p, f32p, i32p,
         ]
         lib.ba_pm_fill.restype = ctypes.c_int
+        try:
+            lib.ba_pm_windows.argtypes = [
+                i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
+            ]
+            lib.ba_pm_windows.restype = ctypes.c_int
+        except AttributeError:
+            # Stale cached .so from before ba_pm_windows existed (e.g. a
+            # read-only checkout where the mtime rebuild can't run):
+            # pm_windows() degrades to the numpy reduction.
+            pass
         _LIB = lib
         return _LIB
 
@@ -193,12 +204,23 @@ def pm_probe(
     return int(kp_max), slot_count, min_pose
 
 
+# Sentinel: ba_pm_fill found a duplicate (point, pose, camera) observation;
+# the point-major layout cannot represent it (one cell per slot-camera), so
+# the caller must fall back to the observation-table engine.
+DUPLICATE_OBSERVATION = object()
+
+
 def pm_fill(
     obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
     point_is_opt, rank_of_point, n_opt: int, num_cams: int, kp: int, mp: int,
 ):
     """Native scatter of observations into the padded cam-major planes.
-    Returns (u, v, valid, slot_pose, slot_opt, X, point_ref) or None."""
+
+    Returns (obs_f32, slot_pose, slot_opt, X, point_ref) -- obs_f32 is the
+    (3*kp*num_cams, mp) stack of [u, v, valid] planes the kernels consume,
+    filled in place (no separate concatenate copy) -- or
+    DUPLICATE_OBSERVATION when the observation list repeats a (point, pose,
+    camera) triple, or None when the native library is unavailable."""
     lib = get_lib()
     n = obs_pose.shape[0]
     num_points = points.shape[0]
@@ -214,9 +236,11 @@ def pm_fill(
     pio = np.ascontiguousarray(point_is_opt, dtype=np.uint8)
     rop = _i32(rank_of_point)
 
-    u = np.zeros((kp * num_cams, mp), dtype=np.float32)
-    v = np.zeros((kp * num_cams, mp), dtype=np.float32)
-    valid = np.zeros((kp * num_cams, mp), dtype=np.float32)
+    kc = kp * num_cams
+    obs_f32 = np.zeros((3 * kc, mp), dtype=np.float32)
+    u = obs_f32[:kc]  # contiguous row-slice views share the one buffer
+    v = obs_f32[kc:2 * kc]
+    valid = obs_f32[2 * kc:]
     slot_pose = np.zeros((kp, mp), dtype=np.int32)
     slot_opt = np.full((kp, mp), -1, dtype=np.int32)
     X = np.zeros((4, mp), dtype=np.float32)
@@ -237,9 +261,42 @@ def pm_fill(
         slot_opt.ctypes.data_as(i32p), X.ctypes.data_as(f32p),
         point_ref.ctypes.data_as(i32p),
     )
+    if rc == -4:
+        return DUPLICATE_OBSERVATION
     if rc != 0:
         return None
-    return u, v, valid, slot_pose, slot_opt, X, point_ref
+    return obs_f32, slot_pose, slot_opt, X, point_ref
+
+
+def pm_windows(slot_pose, slot_opt, valid_plane, kp: int, num_cams: int,
+               mp: int, bm: int):
+    """Native per-block gather-window reduction (raw min/max values).
+
+    Returns (gmin, gmax, smin, smax) int32 (nblocks,) arrays -- empty blocks
+    carry gmin=INT32_MAX/gmax=-1 (resp. smin/smax) exactly like the numpy
+    reduction -- or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or mp % bm != 0 or not hasattr(lib, "ba_pm_windows"):
+        return None
+    sp = _i32(slot_pose)
+    so = _i32(slot_opt)
+    vp = np.ascontiguousarray(valid_plane, dtype=np.float32)
+    nblocks = mp // bm
+    gmin = np.empty(nblocks, dtype=np.int32)
+    gmax = np.empty(nblocks, dtype=np.int32)
+    smin = np.empty(nblocks, dtype=np.int32)
+    smax = np.empty(nblocks, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.ba_pm_windows(
+        sp.ctypes.data_as(i32p), so.ctypes.data_as(i32p),
+        vp.ctypes.data_as(f32p), kp, num_cams, mp, bm,
+        gmin.ctypes.data_as(i32p), gmax.ctypes.data_as(i32p),
+        smin.ctypes.data_as(i32p), smax.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        return None
+    return gmin, gmax, smin, smax
 
 
 def partition_landmarks(

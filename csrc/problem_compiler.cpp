@@ -215,6 +215,15 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
           break;
         }
         const int64_t plane_row = c * kp + s;
+        if (valid_plane[plane_row * mp + row] != 0.0f) {
+          // Duplicate (point, pose, camera) observation: the plane layout
+          // has exactly one cell per (slot, camera), so a duplicate would
+          // silently overwrite its sibling residual. Report it so the
+          // caller falls back to the observation-table engine (which, like
+          // the reference's AddObservation append, keeps both residuals).
+          err = -4;
+          break;
+        }
         u_plane[plane_row * mp + row] =
             static_cast<float>(obs_pixel[o * 2 + 0]);
         v_plane[plane_row * mp + row] =
@@ -224,6 +233,58 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
     }
   }
   return err;
+}
+
+// Per-block pose/opt-index windows for the point-major gather kernels
+// (models/layout.py's post-fill reduction). For each landmark block b of bm
+// padded rows:
+//   gmin/gmax over slot_pose cells whose (slot, row) has any valid camera
+//   observation; smin/smax over slot_opt cells >= 0.
+// Empty blocks report gmin=INT32_MAX/gmax=-1 (resp. smin/smax) and are
+// resolved by the Python caller. valid_plane is (kp*C, mp) cam-major.
+int ba_pm_windows(const int32_t* slot_pose, const int32_t* slot_opt,
+                  const float* valid_plane, int64_t kp, int64_t num_cams,
+                  int64_t mp, int64_t bm, int32_t* gmin_out,
+                  int32_t* gmax_out, int32_t* smin_out, int32_t* smax_out) {
+  if (kp <= 0 || num_cams <= 0 || mp <= 0 || bm <= 0 || mp % bm != 0)
+    return -1;
+  const int64_t nblocks = mp / bm;
+  const int32_t I32MAX = 2147483647;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t b = 0; b < nblocks; ++b) {
+    int32_t gmin = I32MAX, gmax = -1, smin = I32MAX, smax = -1;
+    const int64_t m0 = b * bm;
+    for (int64_t s = 0; s < kp; ++s) {
+      const int32_t* sp = slot_pose + s * mp + m0;
+      const int32_t* so = slot_opt + s * mp + m0;
+      for (int64_t m = 0; m < bm; ++m) {
+        bool has_obs = false;
+        for (int64_t c = 0; c < num_cams; ++c) {
+          if (valid_plane[(c * kp + s) * mp + m0 + m] != 0.0f) {
+            has_obs = true;
+            break;
+          }
+        }
+        if (has_obs) {
+          const int32_t j = sp[m];
+          if (j < gmin) gmin = j;
+          if (j > gmax) gmax = j;
+        }
+        const int32_t o = so[m];
+        if (o >= 0) {
+          if (o < smin) smin = o;
+          if (o > smax) smax = o;
+        }
+      }
+    }
+    gmin_out[b] = gmin;
+    gmax_out[b] = gmax;
+    smin_out[b] = smin;
+    smax_out[b] = smax;
+  }
+  return 0;
 }
 
 // Greedy contiguous landmark partition balancing observation counts.

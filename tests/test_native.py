@@ -98,3 +98,100 @@ def test_builder_connectivity_warnings():
     assert any("1-th pose" in w for w in warnings)
     assert any("1-th point" in w for w in warnings)  # seen by 1 < 2 poses
     assert any("2-th point" in w for w in warnings)
+
+
+def _random_layout_inputs(rng, M=800, N=40, C=2, O=6000, dedup=True):
+    obs_point = rng.integers(0, M, O).astype(np.int32)
+    obs_pose = rng.integers(0, N, O).astype(np.int32)
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    if dedup:
+        tr = (obs_point.astype(np.int64) * (N * C)
+              + obs_pose.astype(np.int64) * C + obs_cam)
+        _, idx = np.unique(tr, return_index=True)
+        obs_point, obs_pose, obs_cam = (
+            obs_point[idx], obs_pose[idx], obs_cam[idx]
+        )
+    O = obs_point.size
+    obs_pixel = rng.normal(size=(O, 2))
+    points = rng.normal(size=(M, 3))
+    n_opt = N - 2
+    pose_opt_of = np.arange(N, dtype=np.int32)
+    pose_opt_of[-2:] = n_opt
+    point_is_opt = rng.uniform(size=M) < 0.9
+    return (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+            point_is_opt, n_opt, C)
+
+
+class TestPointMajorNativePath:
+    """The native fill/windows path must agree BIT-EXACTLY with the numpy
+    fallback of models/layout.build_point_major (same planes, same gather
+    windows), and both must reject duplicate (point, pose, camera)
+    observations -- the native path detects them during the fill
+    (csrc ba_pm_fill rc=-4) instead of a separate uniqueness pre-pass."""
+
+    def _build_both(self, args, **kw):
+        from bundle_adjustment_solver_tpu.models import layout
+
+        a = layout.build_point_major(*args, **kw)
+        lib, tried = native._LIB, native._TRIED
+        try:
+            native._LIB, native._TRIED = None, True  # force numpy fallback
+            b = layout.build_point_major(*args, **kw)
+        finally:
+            native._LIB, native._TRIED = lib, tried
+        return a, b
+
+    def test_native_matches_numpy_bitexact(self, lib, rng):
+        assert lib is not None
+        (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+         point_is_opt, n_opt, C) = _random_layout_inputs(rng)
+        kw = dict(num_cameras=C, scale=1.0, num_opt_poses=n_opt,
+                  block_points=128, max_slots=32, max_window=2048)
+        a, b = self._build_both(
+            (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+             point_is_opt), **kw)
+        assert a is not None and b is not None
+        pa, sa = a
+        pb, sb = b
+        assert sa == sb
+        for name in ("obs_f32", "slot_pose", "slot_opt", "X", "point_ref",
+                     "gbase", "sbase"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pa, name)), np.asarray(getattr(pb, name)),
+                err_msg=name,
+            )
+
+    def test_duplicate_observation_rejected_both_paths(self, lib, rng):
+        assert lib is not None
+        obs_point = np.array([0, 1, 1, 2, 1], np.int32)
+        obs_pose = np.array([3, 5, 5, 7, 5], np.int32)  # rows 1,2,4 repeat
+        obs_cam = np.array([0, 0, 0, 1, 0], np.int32)
+        obs_pixel = rng.normal(size=(5, 2))
+        points = np.ones((3, 3))
+        pose_opt_of = np.arange(8, dtype=np.int32)
+        kw = dict(num_cameras=2, scale=1.0, num_opt_poses=8,
+                  block_points=128, max_slots=8, max_window=2048)
+        a, b = self._build_both(
+            (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+             np.ones(3, bool)), **kw)
+        assert a is None and b is None
+
+    def test_pm_windows_raw_extrema(self, lib):
+        if lib is None or not hasattr(lib, "ba_pm_windows"):
+            pytest.skip("native pm_windows unavailable")
+        kp, C, mp, bm = 2, 1, 256, 128  # 2 blocks
+        slot_pose = np.zeros((kp, mp), np.int32)
+        slot_opt = np.full((kp, mp), -1, np.int32)
+        valid = np.zeros((kp * C, mp), np.float32)
+        # block 0: one observed cell (slot 1, row 5) with pose 7, opt 3
+        slot_pose[1, 5] = 7
+        slot_opt[1, 5] = 3
+        valid[1, 5] = 1.0
+        # block 1: empty (padding) -> sentinel extrema
+        win = native.pm_windows(slot_pose, slot_opt, valid, kp, C, mp, bm)
+        assert win is not None
+        gmin, gmax, smin, smax = win
+        np.testing.assert_array_equal(gmin, [7, np.iinfo(np.int32).max])
+        np.testing.assert_array_equal(gmax, [7, -1])
+        np.testing.assert_array_equal(smin, [3, np.iinfo(np.int32).max])
+        np.testing.assert_array_equal(smax, [3, -1])
