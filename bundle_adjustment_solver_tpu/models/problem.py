@@ -119,20 +119,35 @@ def finalized_from_arrays(
     obs_cam = np.asarray(obs_cam, dtype=np.int32)
     obs_pose = np.asarray(obs_pose, dtype=np.int32)
     obs_point = np.asarray(obs_point, dtype=np.int32)
-    obs_pixel = np.asarray(obs_pixel, dtype=np.float64) * scale
+    obs_pixel_raw = np.asarray(obs_pixel, dtype=np.float64)
     obs_pose_opt = pose_opt_of[obs_pose]
     obs_point_opt = point_opt_of[obs_point]
 
-    from ..utils.native import sort_by_segments
+    from ..utils.native import finalize_obs, sort_by_segments
 
-    order = sort_by_segments(obs_point_opt, obs_pose_opt, m_opt + 1, n_opt + 1)
-    obs_cam, obs_pose, obs_point = (
-        obs_cam[order],
-        obs_pose[order],
-        obs_point[order],
+    # Fused native sort+permute of the whole table (pixel scale folded in):
+    # one pass instead of an order array + six fancy-index gathers.
+    fused = finalize_obs(
+        obs_point_opt, obs_pose_opt, obs_cam, obs_pose, obs_point,
+        obs_pixel_raw, scale, m_opt + 1, n_opt + 1,
     )
-    obs_pixel = obs_pixel[order]
-    obs_pose_opt, obs_point_opt = obs_pose_opt[order], obs_point_opt[order]
+    if fused is not None:
+        (obs_cam, obs_pose, obs_point, obs_pixel, obs_pose_opt,
+         obs_point_opt) = fused
+    else:
+        obs_pixel = obs_pixel_raw * scale
+        order = sort_by_segments(
+            obs_point_opt, obs_pose_opt, m_opt + 1, n_opt + 1
+        )
+        obs_cam, obs_pose, obs_point = (
+            obs_cam[order],
+            obs_pose[order],
+            obs_point[order],
+        )
+        obs_pixel = obs_pixel[order]
+        obs_pose_opt, obs_point_opt = (
+            obs_pose_opt[order], obs_point_opt[order]
+        )
 
     rig = CameraRig.from_cameras(list(cameras), scale=scale, dtype=dtype)
     finalized = FinalizedProblem(

@@ -99,6 +99,15 @@ def get_lib() -> ctypes.CDLL | None:
         ]
         lib.ba_pm_fill.restype = ctypes.c_int
         try:
+            lib.ba_finalize_obs.argtypes = [
+                i32p, i32p, i32p, i32p, i32p, f64p, ctypes.c_double,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i32p, i32p, i32p, f64p, i32p, i32p,
+            ]
+            lib.ba_finalize_obs.restype = ctypes.c_int
+        except AttributeError:
+            pass  # stale cached .so: finalize_obs() degrades to numpy
+        try:
             lib.ba_pm_windows.argtypes = [
                 i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
@@ -266,6 +275,46 @@ def pm_fill(
     if rc != 0:
         return None
     return obs_f32, slot_pose, slot_opt, X, point_ref
+
+
+def finalize_obs(point_opt, pose_opt, cam, pose, point, pixel,
+                 pixel_scale: float, num_point_keys: int,
+                 num_pose_keys: int):
+    """Fused stable sort-by-(point_opt, pose_opt) + permute of the whole
+    observation table, with the pixel scale folded in. Returns
+    (cam, pose, point, pixel_scaled, pose_opt, point_opt) already sorted,
+    or None when the native library is unavailable (callers run the
+    sort_by_segments + fancy-index path instead)."""
+    lib = get_lib()
+    n = int(point_opt.shape[0])
+    if lib is None or n == 0 or not hasattr(lib, "ba_finalize_obs"):
+        return None
+    po = _i32(point_opt)
+    ps = _i32(pose_opt)
+    ca = _i32(cam)
+    pj = _i32(pose)
+    pi = _i32(point)
+    px = np.ascontiguousarray(pixel, dtype=np.float64)
+    cam_o = np.empty(n, dtype=np.int32)
+    pose_o = np.empty(n, dtype=np.int32)
+    point_o = np.empty(n, dtype=np.int32)
+    pixel_o = np.empty((n, 2), dtype=np.float64)
+    pose_opt_o = np.empty(n, dtype=np.int32)
+    point_opt_o = np.empty(n, dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    rc = lib.ba_finalize_obs(
+        po.ctypes.data_as(i32p), ps.ctypes.data_as(i32p),
+        ca.ctypes.data_as(i32p), pj.ctypes.data_as(i32p),
+        pi.ctypes.data_as(i32p), px.ctypes.data_as(f64p),
+        float(pixel_scale), n, num_point_keys, num_pose_keys,
+        cam_o.ctypes.data_as(i32p), pose_o.ctypes.data_as(i32p),
+        point_o.ctypes.data_as(i32p), pixel_o.ctypes.data_as(f64p),
+        pose_opt_o.ctypes.data_as(i32p), point_opt_o.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        return None
+    return cam_o, pose_o, point_o, pixel_o, pose_opt_o, point_opt_o
 
 
 def pm_windows(slot_pose, slot_opt, valid_plane, kp: int, num_cams: int,

@@ -54,6 +54,48 @@ int ba_sort_by_segments(const int32_t* point_opt, const int32_t* pose_opt,
   return 0;
 }
 
+// Fused counting-sort + permute of the observation table
+// (models/problem.finalized_from_arrays' hot path). Sorts rows stably by
+// (point_opt, pose_opt) and writes every column already permuted -- the
+// explicit order array and the per-column numpy fancy-index gathers never
+// materialize. pixel rows are scaled by pixel_scale on the way through
+// (the reference's scaler_ conditioning, full cpp:72-80). pose_opt_out /
+// point_opt_out receive the permuted sort keys.
+int ba_finalize_obs(const int32_t* point_opt, const int32_t* pose_opt,
+                    const int32_t* cam, const int32_t* pose,
+                    const int32_t* point, const double* pixel /* (n,2) */,
+                    double pixel_scale, int64_t n, int64_t num_point_keys,
+                    int64_t num_pose_keys, int32_t* cam_out,
+                    int32_t* pose_out, int32_t* point_out,
+                    double* pixel_out, int32_t* pose_opt_out,
+                    int32_t* point_opt_out) {
+  if (n < 0 || num_point_keys <= 0 || num_pose_keys <= 0) return -1;
+  std::vector<int64_t> tmp(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> count(static_cast<size_t>(num_pose_keys) + 1, 0);
+    for (int64_t i = 0; i < n; ++i) count[pose_opt[i] + 1]++;
+    for (int64_t k = 0; k < num_pose_keys; ++k) count[k + 1] += count[k];
+    for (int64_t i = 0; i < n; ++i) tmp[count[pose_opt[i]]++] = i;
+  }
+  {
+    std::vector<int64_t> count(static_cast<size_t>(num_point_keys) + 1, 0);
+    for (int64_t i = 0; i < n; ++i) count[point_opt[i] + 1]++;
+    for (int64_t k = 0; k < num_point_keys; ++k) count[k + 1] += count[k];
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t row = tmp[static_cast<size_t>(i)];
+      const int64_t dst = count[point_opt[row]]++;
+      cam_out[dst] = cam[row];
+      pose_out[dst] = pose[row];
+      point_out[dst] = point[row];
+      pixel_out[dst * 2 + 0] = pixel[row * 2 + 0] * pixel_scale;
+      pixel_out[dst * 2 + 1] = pixel[row * 2 + 1] * pixel_scale;
+      pose_opt_out[dst] = pose_opt[row];
+      point_opt_out[dst] = point_opt[row];
+    }
+  }
+  return 0;
+}
+
 // Unique-pair connectivity counts. Inputs need NOT be sorted.
 // points_per_pose[j] = #distinct points observed by pose j;
 // poses_per_point[i] = #distinct poses observing point i.

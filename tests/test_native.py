@@ -195,3 +195,31 @@ class TestPointMajorNativePath:
         np.testing.assert_array_equal(gmax, [7, -1])
         np.testing.assert_array_equal(smin, [3, np.iinfo(np.int32).max])
         np.testing.assert_array_equal(smax, [3, -1])
+
+
+def test_finalize_obs_matches_sort_plus_gather(lib, rng):
+    """ba_finalize_obs (fused counting-sort + whole-table permute with the
+    pixel scale folded in) must equal sort_by_segments + fancy-index
+    gathers bit-for-bit."""
+    if lib is None or not hasattr(lib, "ba_finalize_obs"):
+        pytest.skip("native finalize_obs unavailable")
+    n, n_keys_pt, n_keys_ps = 40_000, 900, 50
+    point_opt = rng.integers(0, n_keys_pt, n).astype(np.int32)
+    pose_opt = rng.integers(0, n_keys_ps, n).astype(np.int32)
+    cam = rng.integers(0, 2, n).astype(np.int32)
+    pose = rng.integers(0, 60, n).astype(np.int32)
+    point = rng.integers(0, 5000, n).astype(np.int32)
+    pixel = rng.normal(size=(n, 2))
+    scale = 0.01
+    out = native.finalize_obs(
+        point_opt, pose_opt, cam, pose, point, pixel, scale,
+        n_keys_pt, n_keys_ps,
+    )
+    assert out is not None
+    order = native.sort_by_segments(point_opt, pose_opt, n_keys_pt, n_keys_ps)
+    want = (cam[order], pose[order], point[order], (pixel * scale)[order],
+            pose_opt[order], point_opt[order])
+    for got, ref, name in zip(
+        out, want, ("cam", "pose", "point", "pixel", "pose_opt", "point_opt")
+    ):
+        np.testing.assert_array_equal(got, ref, err_msg=name)
