@@ -202,24 +202,23 @@ def corridor_ba_problem(
         ]
     )
 
-    # Project through the true geometry (vectorized).
+    # Project through the true geometry (vectorized, in observation chunks:
+    # the per-observation R/t/X gathers would otherwise materialize ~5 GB
+    # of f64 temporaries at 24M observations. Chunking is bit-identical --
+    # every op below is elementwise per observation row).
     R_cw = np.transpose(poses_true[:, :3, :3], (0, 2, 1))
     t_cw = -np.einsum("nij,nj->ni", R_cw, poses_true[:, :3, 3])
-    local = (
-        np.einsum("oij,oj->oi", R_cw[obs_pose], pts[obs_point])
-        + t_cw[obs_pose]
-    )
-    local = (
-        np.einsum("oij,oj->oi", cam_R[obs_camera], local) + cam_t[obs_camera]
-    )
-    inv_z = 1.0 / local[:, 2]
-    obs_pixel = np.stack(
-        [
-            fx * local[:, 0] * inv_z + cx,
-            fy * local[:, 1] * inv_z + cy,
-        ],
-        axis=-1,
-    )
+    O = obs_pose.shape[0]
+    obs_pixel = np.empty((O, 2), dtype=np.float64)
+    chunk = 2_000_000
+    for s in range(0, O, chunk):
+        e = min(s + chunk, O)
+        jp, ip, cp = obs_pose[s:e], obs_point[s:e], obs_camera[s:e]
+        local = np.einsum("oij,oj->oi", R_cw[jp], pts[ip]) + t_cw[jp]
+        local = np.einsum("oij,oj->oi", cam_R[cp], local) + cam_t[cp]
+        inv_z = 1.0 / local[:, 2]
+        obs_pixel[s:e, 0] = fx * local[:, 0] * inv_z + cx
+        obs_pixel[s:e, 1] = fy * local[:, 1] * inv_z + cy
     if pixel_noise > 0:
         obs_pixel = obs_pixel + rng.normal(0, pixel_noise, obs_pixel.shape)
 
