@@ -24,6 +24,12 @@ import numpy as np
 from ..models.camera import Camera, stereo_rig
 
 
+# Observation-chunk size of corridor_ba_problem's projection pass: bounds
+# the per-observation gather temporaries (~420 MB/chunk of f64) without
+# changing any value (the pass is elementwise per observation row).
+_PROJECTION_CHUNK = 2_000_000
+
+
 def _rotz(a):
     c, s = np.cos(a), np.sin(a)
     return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
@@ -210,7 +216,7 @@ def corridor_ba_problem(
     t_cw = -np.einsum("nij,nj->ni", R_cw, poses_true[:, :3, 3])
     O = obs_pose.shape[0]
     obs_pixel = np.empty((O, 2), dtype=np.float64)
-    chunk = 2_000_000
+    chunk = _PROJECTION_CHUNK
     for s in range(0, O, chunk):
         e = min(s + chunk, O)
         jp, ip, cp = obs_pose[s:e], obs_point[s:e], obs_camera[s:e]

@@ -309,3 +309,17 @@ class TestShardedBatchedPoseOnly:
             np.asarray(sharded.num_iterations),
             np.asarray(plain.num_iterations),
         )
+
+
+class TestCorridorGenerator:
+    def test_projection_chunking_is_value_invariant(self, monkeypatch):
+        """The chunked projection pass (memory-bounding at 24M obs) must be
+        bit-identical to the one-shot pass at any chunk size."""
+        from bundle_adjustment_solver_tpu.utils import synthetic
+
+        one_shot = synthetic.corridor_ba_problem(50, 2000, window=4, seed=9)
+        monkeypatch.setattr(synthetic, "_PROJECTION_CHUNK", 1000)
+        chunked = synthetic.corridor_ba_problem(50, 2000, window=4, seed=9)
+        np.testing.assert_array_equal(
+            one_shot.obs_pixel, chunked.obs_pixel
+        )
