@@ -181,6 +181,7 @@ def bench_full_ba() -> tuple[dict, dict]:
             "full_BA_observations_x_LM-iterations_per_second_per_chip "
             f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {n_obs} obs, "
             f"{IMPL} schur-CG LM, adaptive EW forcing, "
+            f"fused_cg_step={_FUSED_CG}, "
             f"cg_iters_total={cg_total}/{TIMED_ITERS} LM iters, "
             f"final_rmse_px={rmse:.4f}, "
             f"lm_iters_per_s={iters_per_s:.3f})"
