@@ -19,6 +19,14 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
+# Contract version this wrapper was written against (csrc ba_abi_version).
+# A cached .so reporting anything else -- e.g. a stale build in a read-only
+# checkout where the mtime rebuild couldn't run -- is REJECTED outright and
+# every entry point uses its numpy fallback: running an old binary against
+# new calling conventions (like the pre-duplicate-detection ba_pm_fill)
+# would silently corrupt problems rather than fail.
+_ABI_VERSION = 2
+
 
 def _source_path() -> pathlib.Path:
     return (
@@ -68,6 +76,13 @@ def get_lib() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(str(path))
         except OSError:
             return None
+        try:
+            lib.ba_abi_version.restype = ctypes.c_int64
+            version = int(lib.ba_abi_version())
+        except AttributeError:
+            version = 1  # pre-versioning builds
+        if version != _ABI_VERSION:
+            return None
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.ba_sort_by_segments.argtypes = [
@@ -98,26 +113,17 @@ def get_lib() -> ctypes.CDLL | None:
             f32p, f32p, f32p, i32p, i32p, f32p, i32p,
         ]
         lib.ba_pm_fill.restype = ctypes.c_int
-        try:
-            lib.ba_finalize_obs.argtypes = [
-                i32p, i32p, i32p, i32p, i32p, f64p, ctypes.c_double,
-                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                i32p, i32p, i32p, f64p, i32p, i32p,
-            ]
-            lib.ba_finalize_obs.restype = ctypes.c_int
-        except AttributeError:
-            pass  # stale cached .so: finalize_obs() degrades to numpy
-        try:
-            lib.ba_pm_windows.argtypes = [
-                i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
-            ]
-            lib.ba_pm_windows.restype = ctypes.c_int
-        except AttributeError:
-            # Stale cached .so from before ba_pm_windows existed (e.g. a
-            # read-only checkout where the mtime rebuild can't run):
-            # pm_windows() degrades to the numpy reduction.
-            pass
+        lib.ba_finalize_obs.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, f64p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, f64p, i32p, i32p,
+        ]
+        lib.ba_finalize_obs.restype = ctypes.c_int
+        lib.ba_pm_windows.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
+        ]
+        lib.ba_pm_windows.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -287,7 +293,7 @@ def finalize_obs(point_opt, pose_opt, cam, pose, point, pixel,
     sort_by_segments + fancy-index path instead)."""
     lib = get_lib()
     n = int(point_opt.shape[0])
-    if lib is None or n == 0 or not hasattr(lib, "ba_finalize_obs"):
+    if lib is None or n == 0:
         return None
     po = _i32(point_opt)
     ps = _i32(pose_opt)
@@ -325,7 +331,7 @@ def pm_windows(slot_pose, slot_opt, valid_plane, kp: int, num_cams: int,
     carry gmin=INT32_MAX/gmax=-1 (resp. smin/smax) exactly like the numpy
     reduction -- or None when the native library is unavailable."""
     lib = get_lib()
-    if lib is None or mp % bm != 0 or not hasattr(lib, "ba_pm_windows"):
+    if lib is None or mp % bm != 0:
         return None
     sp = _i32(slot_pose)
     so = _i32(slot_opt)

@@ -24,7 +24,40 @@
 #include <cstring>
 #include <vector>
 
+// Shared scaffold of the stable two-pass LSD counting sort by
+// (point_opt, pose_opt): fills `tmp` with row ids ordered by pose_opt
+// (pass 1) and `count` with the running point_opt bucket cursors, leaving
+// pass 2's per-row output action to the caller (iterate i over tmp, place
+// row at count[point_opt[tmp[i]]]++).
+static bool sort_segment_passes(const int32_t* point_opt,
+                                const int32_t* pose_opt, int64_t n,
+                                int64_t num_point_keys,
+                                int64_t num_pose_keys,
+                                std::vector<int64_t>& tmp,
+                                std::vector<int64_t>& count) {
+  if (n < 0 || num_point_keys <= 0 || num_pose_keys <= 0) return false;
+  tmp.resize(static_cast<size_t>(n));
+  {
+    std::vector<int64_t> c(static_cast<size_t>(num_pose_keys) + 1, 0);
+    for (int64_t i = 0; i < n; ++i) c[pose_opt[i] + 1]++;
+    for (int64_t k = 0; k < num_pose_keys; ++k) c[k + 1] += c[k];
+    for (int64_t i = 0; i < n; ++i) tmp[c[pose_opt[i]]++] = i;
+  }
+  count.assign(static_cast<size_t>(num_point_keys) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) count[point_opt[i] + 1]++;
+  for (int64_t k = 0; k < num_point_keys; ++k) count[k + 1] += count[k];
+  return true;
+}
+
 extern "C" {
+
+// Bump when an entry point's CONTRACT changes (not merely on additions):
+// the Python loader refuses a library whose version it doesn't expect, so
+// a stale cached .so (read-only checkout, failed rebuild) degrades to the
+// numpy fallbacks instead of silently running old semantics -- e.g. a
+// pre-duplicate-detection ba_pm_fill would silently overwrite sibling
+// residuals now that the caller no longer runs its own uniqueness check.
+int64_t ba_abi_version(void) { return 2; }
 
 // Stable counting sort of [0, n) observation rows by key
 // point_opt * (num_pose_keys) + pose_opt. Keys must be in range
@@ -33,23 +66,13 @@ extern "C" {
 int ba_sort_by_segments(const int32_t* point_opt, const int32_t* pose_opt,
                         int64_t n, int64_t num_point_keys,
                         int64_t num_pose_keys, int64_t* order_out) {
-  if (n < 0 || num_point_keys <= 0 || num_pose_keys <= 0) return -1;
-  // Two-pass LSD counting sort: first by pose_opt, then stable by point_opt.
-  std::vector<int64_t> tmp(static_cast<size_t>(n));
-  {
-    std::vector<int64_t> count(static_cast<size_t>(num_pose_keys) + 1, 0);
-    for (int64_t i = 0; i < n; ++i) count[pose_opt[i] + 1]++;
-    for (int64_t k = 0; k < num_pose_keys; ++k) count[k + 1] += count[k];
-    for (int64_t i = 0; i < n; ++i) tmp[count[pose_opt[i]]++] = i;
-  }
-  {
-    std::vector<int64_t> count(static_cast<size_t>(num_point_keys) + 1, 0);
-    for (int64_t i = 0; i < n; ++i) count[point_opt[i] + 1]++;
-    for (int64_t k = 0; k < num_point_keys; ++k) count[k + 1] += count[k];
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t row = tmp[static_cast<size_t>(i)];
-      order_out[count[point_opt[row]]++] = row;
-    }
+  std::vector<int64_t> tmp, count;
+  if (!sort_segment_passes(point_opt, pose_opt, n, num_point_keys,
+                           num_pose_keys, tmp, count))
+    return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t row = tmp[static_cast<size_t>(i)];
+    order_out[count[point_opt[row]]++] = row;
   }
   return 0;
 }
@@ -69,29 +92,20 @@ int ba_finalize_obs(const int32_t* point_opt, const int32_t* pose_opt,
                     int32_t* pose_out, int32_t* point_out,
                     double* pixel_out, int32_t* pose_opt_out,
                     int32_t* point_opt_out) {
-  if (n < 0 || num_point_keys <= 0 || num_pose_keys <= 0) return -1;
-  std::vector<int64_t> tmp(static_cast<size_t>(n));
-  {
-    std::vector<int64_t> count(static_cast<size_t>(num_pose_keys) + 1, 0);
-    for (int64_t i = 0; i < n; ++i) count[pose_opt[i] + 1]++;
-    for (int64_t k = 0; k < num_pose_keys; ++k) count[k + 1] += count[k];
-    for (int64_t i = 0; i < n; ++i) tmp[count[pose_opt[i]]++] = i;
-  }
-  {
-    std::vector<int64_t> count(static_cast<size_t>(num_point_keys) + 1, 0);
-    for (int64_t i = 0; i < n; ++i) count[point_opt[i] + 1]++;
-    for (int64_t k = 0; k < num_point_keys; ++k) count[k + 1] += count[k];
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t row = tmp[static_cast<size_t>(i)];
-      const int64_t dst = count[point_opt[row]]++;
-      cam_out[dst] = cam[row];
-      pose_out[dst] = pose[row];
-      point_out[dst] = point[row];
-      pixel_out[dst * 2 + 0] = pixel[row * 2 + 0] * pixel_scale;
-      pixel_out[dst * 2 + 1] = pixel[row * 2 + 1] * pixel_scale;
-      pose_opt_out[dst] = pose_opt[row];
-      point_opt_out[dst] = point_opt[row];
-    }
+  std::vector<int64_t> tmp, count;
+  if (!sort_segment_passes(point_opt, pose_opt, n, num_point_keys,
+                           num_pose_keys, tmp, count))
+    return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t row = tmp[static_cast<size_t>(i)];
+    const int64_t dst = count[point_opt[row]]++;
+    cam_out[dst] = cam[row];
+    pose_out[dst] = pose[row];
+    point_out[dst] = point[row];
+    pixel_out[dst * 2 + 0] = pixel[row * 2 + 0] * pixel_scale;
+    pixel_out[dst * 2 + 1] = pixel[row * 2 + 1] * pixel_scale;
+    pose_opt_out[dst] = pose_opt[row];
+    point_opt_out[dst] = point_opt[row];
   }
   return 0;
 }
@@ -204,7 +218,11 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
 
   // Per-point work writes only that point's padded row (rank_of_point is a
   // permutation), so points parallelize with no synchronization beyond the
-  // shared error flag.
+  // shared error flag. The flag is accessed with omp atomics (a plain
+  // concurrent read/write is a data race); when DIFFERENT errors race the
+  // surviving code is arbitrary, which is safe: every nonzero code routes
+  // the caller off the native path, and the numpy fallback re-runs its own
+  // duplicate check.
   int err = 0;
 #if defined(_OPENMP)
 #pragma omp parallel
@@ -215,7 +233,12 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
 #pragma omp for schedule(dynamic, 2048)
 #endif
     for (int64_t p = 0; p < num_points; ++p) {
-      if (err) continue;
+      int err_seen;
+#if defined(_OPENMP)
+#pragma omp atomic read
+#endif
+      err_seen = err;
+      if (err_seen) continue;
       const int64_t row = rank_of_point[p];
       point_ref[row] = static_cast<int32_t>(p);
       X[row] = static_cast<float>(points[p * 3 + 0]);
@@ -224,6 +247,7 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
       X[3 * mp + row] = point_is_opt[p] ? 1.0f : 0.0f;
 
       // Collect the distinct observing poses in ascending order.
+      int perr = 0;  // this point's error; published to `err` atomically
       int64_t nslots = 0;
       for (int64_t k = start[p]; k < start[p + 1]; ++k) {
         const int32_t j = obs_pose[obs_of[static_cast<size_t>(k)]];
@@ -231,46 +255,54 @@ int ba_pm_fill(const int32_t* obs_pose, const int32_t* obs_point,
         while (lo < nslots && run_poses[lo] < j) lo++;
         if (lo < nslots && run_poses[lo] == j) continue;
         if (nslots >= kp) {  // caller sized kp too small
-          err = -2;
+          perr = -2;
           break;
         }
         for (int64_t m = nslots; m > lo; --m) run_poses[m] = run_poses[m - 1];
         run_poses[lo] = j;
         nslots++;
       }
-      if (err) continue;
-      for (int64_t s = 0; s < nslots; ++s) {
-        const int32_t j = run_poses[s];
-        slot_pose[s * mp + row] = j;
-        const int32_t opt = pose_opt_of[j];
-        slot_opt[s * mp + row] = (opt == n_opt) ? -1 : opt;
+      if (!perr) {
+        for (int64_t s = 0; s < nslots; ++s) {
+          const int32_t j = run_poses[s];
+          slot_pose[s * mp + row] = j;
+          const int32_t opt = pose_opt_of[j];
+          slot_opt[s * mp + row] = (opt == n_opt) ? -1 : opt;
+        }
+        // Scatter pixels into the cam-major planes.
+        for (int64_t k = start[p]; k < start[p + 1]; ++k) {
+          const int64_t o = obs_of[static_cast<size_t>(k)];
+          const int32_t j = obs_pose[o];
+          int64_t s = 0;
+          while (run_poses[s] != j) s++;
+          const int64_t c = obs_cam[o];
+          if (c < 0 || c >= num_cams) {
+            perr = -3;
+            break;
+          }
+          const int64_t plane_row = c * kp + s;
+          if (valid_plane[plane_row * mp + row] != 0.0f) {
+            // Duplicate (point, pose, camera) observation: the plane
+            // layout has exactly one cell per (slot, camera), so a
+            // duplicate would silently overwrite its sibling residual.
+            // Report it so the caller falls back to the observation-table
+            // engine (which, like the reference's AddObservation append,
+            // keeps both residuals).
+            perr = -4;
+            break;
+          }
+          u_plane[plane_row * mp + row] =
+              static_cast<float>(obs_pixel[o * 2 + 0]);
+          v_plane[plane_row * mp + row] =
+              static_cast<float>(obs_pixel[o * 2 + 1]);
+          valid_plane[plane_row * mp + row] = 1.0f;
+        }
       }
-      // Scatter pixels into the cam-major planes.
-      for (int64_t k = start[p]; k < start[p + 1]; ++k) {
-        const int64_t o = obs_of[static_cast<size_t>(k)];
-        const int32_t j = obs_pose[o];
-        int64_t s = 0;
-        while (run_poses[s] != j) s++;
-        const int64_t c = obs_cam[o];
-        if (c < 0 || c >= num_cams) {
-          err = -3;
-          break;
-        }
-        const int64_t plane_row = c * kp + s;
-        if (valid_plane[plane_row * mp + row] != 0.0f) {
-          // Duplicate (point, pose, camera) observation: the plane layout
-          // has exactly one cell per (slot, camera), so a duplicate would
-          // silently overwrite its sibling residual. Report it so the
-          // caller falls back to the observation-table engine (which, like
-          // the reference's AddObservation append, keeps both residuals).
-          err = -4;
-          break;
-        }
-        u_plane[plane_row * mp + row] =
-            static_cast<float>(obs_pixel[o * 2 + 0]);
-        v_plane[plane_row * mp + row] =
-            static_cast<float>(obs_pixel[o * 2 + 1]);
-        valid_plane[plane_row * mp + row] = 1.0f;
+      if (perr) {
+#if defined(_OPENMP)
+#pragma omp atomic write
+#endif
+        err = perr;
       }
     }
   }

@@ -223,3 +223,24 @@ def test_finalize_obs_matches_sort_plus_gather(lib, rng):
         out, want, ("cam", "pose", "point", "pixel", "pose_opt", "point_opt")
     ):
         np.testing.assert_array_equal(got, ref, err_msg=name)
+
+
+def test_stale_abi_version_rejected(tmp_path, monkeypatch):
+    """A cached .so reporting an old (or missing) ABI version must be
+    rejected entirely -- e.g. a pre-duplicate-detection ba_pm_fill would
+    silently corrupt problems now that the caller trusts the in-fill
+    check -- so every entry point uses its numpy fallback."""
+    import subprocess
+
+    src = tmp_path / "stub.cpp"
+    src.write_text(
+        'extern "C" { long long ba_abi_version(void) { return 1; } }'
+    )
+    so = tmp_path / "stub.so"
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", str(src), "-o", str(so)], check=True
+    )
+    monkeypatch.setattr(native, "_build", lambda: so)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    assert native.get_lib() is None
