@@ -244,3 +244,27 @@ def test_stale_abi_version_rejected(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "_LIB", None)
     monkeypatch.setattr(native, "_TRIED", False)
     assert native.get_lib() is None
+
+
+def test_pm_fill_error_codes(lib, rng):
+    """Undersized kp (rc=-2) and out-of-range camera (rc=-3) must surface
+    as None (fallback), not as silently truncated planes."""
+    if lib is None:
+        pytest.skip("native unavailable")
+    # 1 point observed by 3 poses, but kp=2.
+    obs_point = np.zeros(3, np.int32)
+    obs_pose = np.array([0, 1, 2], np.int32)
+    obs_cam = np.zeros(3, np.int32)
+    pix = rng.normal(size=(3, 2))
+    pts = np.ones((1, 3))
+    poo = np.arange(4, dtype=np.int32)
+    rop = np.zeros(1, np.int32)
+    out = native.pm_fill(obs_pose, obs_point, obs_cam, pix, pts, poo,
+                         np.ones(1, np.uint8), rop, n_opt=4, num_cams=1,
+                         kp=2, mp=128)
+    assert out is None
+    # camera index out of range (num_cams=1, cam id 1).
+    out = native.pm_fill(obs_pose, obs_point, np.array([0, 1, 0], np.int32),
+                         pix, pts, poo, np.ones(1, np.uint8), rop,
+                         n_opt=4, num_cams=1, kp=4, mp=128)
+    assert out is None
