@@ -89,6 +89,15 @@ class PMShape:
     block_points: int  # bm: landmarks per kernel block
     window: int  # P: pose window per block (one-hot width)
     scale: float
+    # When the optimizable poses are one contiguous, identity-ordered row
+    # range [opt_start, opt_start + num_opt_poses) of the pose array (the
+    # common SLAM case: fix the first/last K frames), the solvers replace
+    # the per-iteration gather/scatter of pose rows with static slices /
+    # dynamic-update-slice -- the general scatter is the single largest
+    # replicated op of the flagship LM iteration (0.43 ms/iter measured,
+    # benchmarks/flagship_profile.json top_replicated_ops_ms). None = the
+    # general gather/scatter path.
+    opt_start: int | None = None
 
     @property
     def num_blocks(self) -> int:
@@ -336,6 +345,18 @@ def build_point_major(
         gbase=jnp.asarray(gbase.astype(np.int32)),
         sbase=jnp.asarray(sbase.astype(np.int32)),
     )
+    # Contiguity probe for the fast pose gather/scatter (see PMShape).
+    opt_start = None
+    if n_opt > 0:
+        opt_rows = np.nonzero(pose_opt_of < n_opt)[0]
+        if opt_rows.size == n_opt:
+            s0 = int(opt_rows[0])
+            if int(opt_rows[-1]) == s0 + n_opt - 1 and np.array_equal(
+                pose_opt_of[s0 : s0 + n_opt],
+                np.arange(n_opt, dtype=pose_opt_of.dtype),
+            ):
+                opt_start = s0
+
     shape = PMShape(
         num_poses=N,
         num_opt_poses=n_opt,
@@ -347,5 +368,6 @@ def build_point_major(
         block_points=bm,
         window=P,
         scale=scale,
+        opt_start=opt_start,
     )
     return pm, shape

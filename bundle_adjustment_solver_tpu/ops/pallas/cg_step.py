@@ -137,6 +137,86 @@ def cg_pose_step(AP, corr, x, r, p, rz, interpret: bool = False):
     return xo, ro, po, sc[0, 0], sc[1, 0], sc[2, 0]
 
 
+def _cg_sp_kernel(a_ref, corr_ref, p_ref, sp_ref, sc_ref):
+    """Sp = A p - corr plus the LOCAL p . Sp partial (pose-sharded CG)."""
+    p = [p_ref[a:a + 1, :] for a in range(6)]
+    Ap = _sym6_rows(a_ref, 0, p)
+    Sp = [Ap[a] - corr_ref[a:a + 1, :] for a in range(6)]
+    for a in range(6):
+        sp_ref[a:a + 1, :] = Sp[a]
+    sc_ref[0, 0] = _dot6(p, Sp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_sp_partial(A21, corr, p, interpret: bool = False):
+    """Pose-sharded PCG, phase 1 of the split step: Sp on the LOCAL pose
+    planes plus the local p . Sp dot partial (psum it before `cg_update_
+    partial` -- alpha must use the global dot).
+
+    A21 (21, Nl) f32 damped-A tri planes of this shard's poses; corr/p
+    (6, Nl) f32. Returns (Sp (6, Nl), pSp_partial scalar). The single-chip
+    engine fuses both phases into `cg_pose_step`; sharding splits them at
+    the two global reductions."""
+    Np = A21.shape[1]
+    sp, sc = pl.pallas_call(
+        _cg_sp_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(A21, corr, p)
+    return sp, sc[0, 0]
+
+
+def _cg_update_kernel(m_ref, x_ref, r_ref, p_ref, sp_ref, al_ref,
+                      xo_ref, ro_ref, zo_ref, sc_ref):
+    """x/r updates with a GLOBAL alpha + z = M^-1 r' and local dot partials."""
+    alpha = al_ref[0, 0]
+    rn = []
+    for a in range(6):
+        xo_ref[a:a + 1, :] = x_ref[a:a + 1, :] + alpha * p_ref[a:a + 1, :]
+        ra = r_ref[a:a + 1, :] - alpha * sp_ref[a:a + 1, :]
+        rn.append(ra)
+        ro_ref[a:a + 1, :] = ra
+    z = _sym6_rows(m_ref, 0, rn)
+    for a in range(6):
+        zo_ref[a:a + 1, :] = z[a]
+    sc_ref[0, 0] = _dot6(rn, z)
+    sc_ref[1, 0] = _dot6(rn, rn)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_update_partial(M21, x, r, p, Sp, alpha, interpret: bool = False):
+    """Pose-sharded PCG, phase 2: axpy updates with the globally-reduced
+    alpha, preconditioner apply, and the local r'.z / r'.r' dot partials
+    (psum them; beta and the termination test need the global values).
+
+    M21 (21, Nl) f32 preconditioner tri planes; x/r/p/Sp (6, Nl); alpha
+    scalar. Returns (x', r', z, rz_partial, rr_partial). The next search
+    direction p' = z + beta p is left to XLA where it fuses into the
+    all-gather operand build."""
+    Np = M21.shape[1]
+    xo, ro, zo, sc = pl.pallas_call(
+        _cg_update_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((6, Np), jnp.float32),
+            jax.ShapeDtypeStruct((2, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(M21, x, r, p, Sp, jnp.reshape(alpha, (1, 1)).astype(jnp.float32))
+    return xo, ro, zo, sc[0, 0], sc[1, 0]
+
+
 def to_planes(v, Np):
     """(n, 6) -> zero-padded (6, Np) plane form."""
     n = v.shape[0]

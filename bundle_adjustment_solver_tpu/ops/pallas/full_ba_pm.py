@@ -593,12 +593,24 @@ def _cam_table(rig):
 
 def _second_level(panels, sbase, n_opt, P, cols):
     """Finish a windowed scatter: (nblocks, P, cols) panels + per-block bases
-    -> (n_opt, cols) via one small segment-sum (nblocks * P rows)."""
+    -> (n_opt, cols) via one small segment-sum.
+
+    XLA's scatter-add costs ~7 ns per scattered ROW regardless of width
+    (and an (r, cols<=128) operand lane-pads 16x), so the rows are grouped
+    into 8-row tiles first: every sbase is 8-aligned and P is a multiple
+    of 8 (models/layout.py), so block i's window covers whole tiles
+    sbase_i/8 + j, j < P/8, and the tiled segment-sum scatters 8x fewer,
+    8x wider rows -- same values added in the same block order (measured
+    0.74 -> ~0.1 ms per flagship LM iteration on the CG-matvec side)."""
     nblocks = panels.shape[0]
-    keys = (sbase[:, None] + jnp.arange(P, dtype=jnp.int32)[None, :]).reshape(-1)
-    flat = panels.reshape(nblocks * P, cols)
-    out = jax.ops.segment_sum(flat, keys, num_segments=n_opt + P)
-    return out[:n_opt]
+    assert P % 8 == 0, "layout guarantees 8-aligned windows"
+    tiles = panels.reshape(nblocks * (P // 8), 8 * cols)
+    keys = (
+        sbase[:, None] // 8 + jnp.arange(P // 8, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    nseg = (n_opt + P + 7) // 8
+    out = jax.ops.segment_sum(tiles, keys, num_segments=nseg)
+    return out.reshape(nseg * 8, cols)[:n_opt]
 
 
 def _tri_to_full(Atri):

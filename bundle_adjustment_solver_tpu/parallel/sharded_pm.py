@@ -42,7 +42,13 @@ from ..ops.sym6 import inverse_tri6, tri6_matvec
 from ..ops.pallas import full_ba_pm as K
 from ..options import IterationStatus, Options, SolverType
 from ..solvers.full_ba import FullBAState, _GN_LAMBDA, _cg_tolerance
-from ..solvers.full_ba_pm import _apply_cinv, _c_times, pm_from_finalized
+from ..solvers.full_ba_pm import (
+    _apply_cinv,
+    _c_times,
+    gather_opt_poses,
+    pm_from_finalized,
+    scatter_opt_poses,
+)
 from ..summary import (
     INFO_ABS_STEP,
     INFO_AVG_REPROJ,
@@ -270,11 +276,11 @@ def _device_program(pm_local, rig, R_cw0, t_cw0, opt_pose_idx, *, lshape,
             y = _apply_cinv(Cb, t)
 
         dR, dt = se3_exp(x)
-        R_opt = R_cw[opt_pose_idx]
-        t_opt = t_cw[opt_pose_idx]
+        R_opt, t_opt = gather_opt_poses(R_cw, t_cw, opt_pose_idx, shape)
         R_new, t_new = compose(dR, dt, R_opt, t_opt)
-        R_cand = R_cw.at[opt_pose_idx].set(R_new)
-        t_cand = t_cw.at[opt_pose_idx].set(t_new)
+        R_cand, t_cand = scatter_opt_poses(
+            R_cw, t_cw, R_new, t_new, opt_pose_idx, shape
+        )
         X_cand = X.at[:3].add(y * X[3:4])
 
         current_cost = eval_cost(R_cand, t_cand, X_cand)

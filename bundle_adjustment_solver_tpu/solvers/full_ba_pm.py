@@ -133,6 +133,40 @@ def pm_from_finalized(
     )
 
 
+def gather_opt_poses(R_cw, t_cw, opt_pose_idx, shape: PMShape):
+    """(R, t) rows of the optimizable poses. Uses static slices when the
+    opt range is contiguous (PMShape.opt_start), the general gather
+    otherwise -- identical values either way."""
+    s = shape.opt_start
+    if s is not None:
+        n = shape.num_opt_poses
+        return (
+            jax.lax.slice_in_dim(R_cw, s, s + n),
+            jax.lax.slice_in_dim(t_cw, s, s + n),
+        )
+    return R_cw[opt_pose_idx], t_cw[opt_pose_idx]
+
+
+def scatter_opt_poses(R_cw, t_cw, R_new, t_new, opt_pose_idx,
+                      shape: PMShape):
+    """Write updated opt-pose rows back into the full pose arrays.
+
+    The general `.at[idx].set` scatter is the single largest replicated op
+    of the flagship LM iteration (0.43 ms of the 1.13 ms pose-side total,
+    benchmarks/flagship_profile.json); a contiguous opt range turns it
+    into a dynamic-update-slice."""
+    s = shape.opt_start
+    if s is not None:
+        return (
+            jax.lax.dynamic_update_slice_in_dim(R_cw, R_new, s, 0),
+            jax.lax.dynamic_update_slice_in_dim(t_cw, t_new, s, 0),
+        )
+    return (
+        R_cw.at[opt_pose_idx].set(R_new),
+        t_cw.at[opt_pose_idx].set(t_new),
+    )
+
+
 def _apply_cinv(Cb, t):
     """y = Cinv (b - t) on the point-major planes; Cb rows 9:15 hold Cinv,
     6:9 hold b. t: (4, Mp). Returns (3, Mp)."""
@@ -399,11 +433,11 @@ def _pm_loop_pieces(
 
         # Candidate update: T_cw <- exp(x) T_cw, X += y.
         dR, dt = se3_exp(x)
-        R_opt = c.R_cw[opt_pose_idx]
-        t_opt = c.t_cw[opt_pose_idx]
+        R_opt, t_opt = gather_opt_poses(c.R_cw, c.t_cw, opt_pose_idx, shape)
         R_new, t_new = compose(dR, dt, R_opt, t_opt)
-        R_cand = c.R_cw.at[opt_pose_idx].set(R_new)
-        t_cand = c.t_cw.at[opt_pose_idx].set(t_new)
+        R_cand, t_cand = scatter_opt_poses(
+            c.R_cw, c.t_cw, R_new, t_new, opt_pose_idx, shape
+        )
         X_cand = c.X.at[:3].add(y * c.X[3:4])
 
         current_cost = eval_cost(R_cand, t_cand, X_cand)

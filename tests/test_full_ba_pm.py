@@ -908,3 +908,54 @@ def test_device_iteration_times_degrades_without_protoc(tmp_path, monkeypatch):
 
     monkeypatch.setattr(profiling, "_xplane_pb2", boom)
     assert profiling.device_iteration_times_ms(str(tmp_path)) == []
+
+
+def test_contiguous_opt_fast_path_matches_scatter():
+    """PMShape.opt_start routes the pose update through static slices /
+    dynamic-update-slice; it must be detected only for contiguous
+    identity-ordered opt ranges and be bit-exact vs the general scatter."""
+    import dataclasses
+
+    prob = corridor_ba_problem(num_poses=14, num_points=260, window=4, seed=5)
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(4),
+        reduced_system="cg",
+        cg_max_iterations=15,
+        cg_tolerance=1e-8,
+    )
+
+    def build(mask):
+        return finalized_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=mask,
+        )
+
+    # Non-contiguous fixed set -> no fast path.
+    split = np.zeros(14, bool)
+    split[[0, 7]] = True
+    _, sshape = build(split)
+    pm_s = pm_from_finalized(*build(split))
+    assert pm_s[1].opt_start is None
+
+    # Contiguous opt range [1, 14) -> fast path, bit-exact vs forcing the
+    # scatter path on the identical layout.
+    contig = np.zeros(14, bool)
+    contig[0] = True
+    problem, shape = build(contig)
+    pm, pshape = pm_from_finalized(problem, shape)
+    assert pshape.opt_start == 1
+    state_fast, _ = solve_pm(problem, shape, opts, pm_and_shape=(pm, pshape))
+    state_gen, _ = solve_pm(
+        problem, shape, opts,
+        pm_and_shape=(pm, dataclasses.replace(pshape, opt_start=None)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_fast.poses_world_to_camera),
+        np.asarray(state_gen.poses_world_to_camera),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_fast.points), np.asarray(state_gen.points)
+    )
