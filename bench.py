@@ -64,9 +64,15 @@ WINDOW = int(os.environ.get("BENCH_WINDOW", 6))
 TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 50))
 IMPL = os.environ.get("BENCH_IMPL", "pm")  # 'pm' (pallas) | 'cg' (obs table)
 ONLY = os.environ.get("BENCH_ONLY", "all")  # 'all' | 'full' | 'pose'
-# PERF.md: the 10k/1M flagship converges to 0.004-0.005 px; generous slack
-# for noise-seed / iteration-count variation.
-RMSE_LIMIT = float(os.environ.get("BENCH_RMSE_LIMIT", 0.02))
+# PERF.md: the 10k/1M flagship converges to 0.004-0.005 px. The gate sits
+# at 0.008 (VERDICT r3 weak #5: the old 0.02 would have passed a 4x
+# convergence regression silently); non-default problem sizes get slack.
+RMSE_LIMIT = float(
+    os.environ.get(
+        "BENCH_RMSE_LIMIT",
+        0.008 if (NUM_POSES, NUM_POINTS) == (10_000, 1_000_000) else 0.02,
+    )
+)
 # Time-to-target threshold for the convergence-honest metric (VERDICT r2
 # task 2): seconds for a fresh flagship solve to reach this RMSE.
 TARGET_RMSE = float(os.environ.get("BENCH_TARGET_RMSE", 0.01))
@@ -176,6 +182,17 @@ def bench_full_ba() -> tuple[dict, dict]:
     iters_per_s = TIMED_ITERS / elapsed
     obs_iters_per_s = n_obs * iters_per_s
     cg_total = int(info[:TIMED_ITERS, INFO_CG_ITERS].sum())
+    # Regression gate on the inner-CG budget (VERDICT r3 weak #5): at the
+    # default flagship config the EW forcing lands at ~150-230 total CG
+    # iterations over 50 LM iterations; a forcing/preconditioner bug that
+    # blows it toward the 25/LM cap (1250) would otherwise ship as a quiet
+    # throughput drop.
+    if (NUM_POSES, NUM_POINTS) == (10_000, 1_000_000) and \
+            TIMED_ITERS == 50 and os.environ.get("BENCH_CG", "ew") == "ew":
+        assert 100 <= cg_total <= 400, (
+            f"flagship EW-forced CG total {cg_total} outside the 100-400 "
+            "band (expected ~150-230; check cg_forcing / preconditioner)"
+        )
     throughput = {
         "metric": (
             "full_BA_observations_x_LM-iterations_per_second_per_chip "
@@ -213,6 +230,15 @@ def bench_full_ba() -> tuple[dict, dict]:
         f"{TIMED_ITERS} LM iterations"
     )
     n_star, secs, rmse_n = best
+    # Convergence-rate gate (VERDICT r3 weak #5): the captured flagship
+    # reaches 0.01 px in ~14 LM iterations; needing more than 2x that means
+    # the trust-region/forcing dynamics regressed even if throughput looks
+    # fine.
+    if (NUM_POSES, NUM_POINTS) == (10_000, 1_000_000) and TIMED_ITERS == 50:
+        assert n_star <= 30, (
+            f"flagship needed {n_star} LM iterations to reach {target} px "
+            "(captured artifact: ~14); convergence regressed"
+        )
     # Reference-throughput estimate (see module docstring): the same n* LM
     # iterations over n_obs observations at ~1e6 obs-iter/s.
     ref_secs = n_star * n_obs / 1e6
@@ -227,7 +253,76 @@ def bench_full_ba() -> tuple[dict, dict]:
         "unit": "s",
         "vs_baseline": round(ref_secs / secs, 3),
     }
-    return throughput, time_to_target
+    return throughput, time_to_target, n_star
+
+
+def bench_full_ba_arrays_to_target(n_star: int) -> dict:
+    """END-TO-END clock: seconds from raw host arrays in hand to RMSE <=
+    TARGET_RMSE, INCLUDING the point-major layout build and the
+    host->device transfer (VERDICT r3 missing #2: the reference starts its
+    stopwatch before FinalizeParameters, full cpp:631-663, so its reported
+    total time covers the layout-build analogue; the solve-only
+    time-to-target metric above does not).
+
+    The pipeline is the direct arrays->PM path
+    (solvers.full_ba_pm.pm_problem_from_arrays): the sorted observation
+    table -- which only the observation-table engine needs -- is skipped,
+    saving the ~2.5 s native finalize at this scale. Compile time is
+    excluded (a first warm-up pass runs the identical executable; serving
+    reuses compiled solvers), and the solution stays device-resident (the
+    SLAM serving pattern; reading 1M landmarks back through this rig's
+    device tunnel costs seconds that no production host pays).
+    """
+    from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+    from bundle_adjustment_solver_tpu.utils.synthetic import (
+        corridor_ba_problem,
+    )
+
+    prob = corridor_ba_problem(
+        num_poses=NUM_POSES, num_points=NUM_POINTS, window=WINDOW, seed=123
+    )
+    fixed_pose = np.zeros(NUM_POSES, dtype=bool)
+    fixed_pose[prob.fixed_pose_ids] = True
+    opts = full_ba_options(n_star)
+
+    def pipeline() -> float:
+        res = full_ba_pm.pm_problem_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed_pose,
+        )
+        assert res is not None
+        problem, shape, pm, pshape = res
+        out = full_ba_pm._solve_pm_jax(
+            pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+            problem.opt_pose_idx, opts, interpret=False,
+        )
+        return _fetch(out[8])  # final RMSE (px); the fetch synchronizes
+
+    pipeline()  # compile + warm (executable reuse is the serving pattern)
+    t0 = time.perf_counter()
+    rmse = pipeline()
+    secs = time.perf_counter() - t0
+    assert rmse <= TARGET_RMSE, (
+        f"arrays-to-target pipeline landed at {rmse:.4f} px > {TARGET_RMSE}"
+    )
+    return {
+        "metric": (
+            f"full_BA_seconds_from_host_arrays_to_rmse_{TARGET_RMSE}px "
+            f"({NUM_POSES} poses, {NUM_POINTS} landmarks, layout build + "
+            f"H2D + {n_star} LM iterations, achieved_rmse_px={rmse:.4f}, "
+            "solution device-resident)"
+        ),
+        "value": round(secs, 3),
+        "unit": "s",
+        # Reference estimate: same iterations at ~1e6 obs-iter/s PLUS its
+        # finalize (~2.5 s measured for our native analogue of the same
+        # hash-map passes) -- conservative, since the reference's clock
+        # covers finalize too.
+        "vs_baseline": round(
+            (n_star * prob.obs_pose.shape[0] / 1e6 + 2.5) / secs, 3
+        ),
+    }
 
 
 def _pose_only_rate(run, n_lo, n_hi, reps=3) -> float:
@@ -599,9 +694,11 @@ def main():
     details = []
     flagship = None
     if ONLY in ("all", "full"):
-        flagship, time_to_target = bench_full_ba()
+        flagship, time_to_target, n_star = bench_full_ba()
         details.append(flagship)
         details.append(time_to_target)
+        if IMPL == "pm":
+            details.append(bench_full_ba_arrays_to_target(n_star))
         if IMPL == "pm" and os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
             details.append(bench_full_ba_large())
     if ONLY in ("all", "pose"):

@@ -104,7 +104,10 @@ def main():
     from bundle_adjustment_solver_tpu.utils.profiling import phase_split_ms
 
     split = phase_split_ms(
-        trace_dir, LM_ITERS, lm_dim_floor=pshape.num_blocks * pshape.window
+        trace_dir, LM_ITERS, lm_dim_floor=pshape.num_blocks * pshape.window,
+        # Full-pose-table ops (candidate write, accept select) stay
+        # per-device even in the pose-sharded distributed engine.
+        full_pose_dims=(pshape.num_poses, pshape.num_poses + pshape.window),
     )
     if split is not None:
         artifact.update(

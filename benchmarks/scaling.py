@@ -43,25 +43,31 @@ ICI_RING_BW = 9e10  # bytes/s usable per ring direction pair (conservative)
 ICI_LATENCY_PER_PSUM = 5e-6  # seconds software+hop latency per collective
 
 # Measured single-chip flagship phase split at 10k poses / 1M landmarks
-# (PERF.md round-3; benchmarks/cg_study.json schur_ew_cap25: 61.0 LM it/s
-# => 16.4 ms/LM-iter at ~3.1 CG iters/LM-iter average):
-#   - landmark-sharded device time (assembly + matvec + cost kernels):
-#     scales ~1/n over a landmark-sharded mesh;
-#   - replicated pose-side time (second-level reduction, sym6 algebra, CG
-#     vector ops, SE(3) step): constant per device.
-FLAGSHIP_LM_ITER_MS = 16.4
-FLAGSHIP_REPLICATED_MS = 5.0  # PERF.md round-2 "XLA glue" bound (pose-side)
-FLAGSHIP_CG_PER_LM = 3.14  # cg_study schur_ew_cap25: 157 CG / 50 LM
+# (benchmarks/flagship_profile.json, refreshed by profile_flagship.py;
+# these constants are the round-4 capture, used only when that file is
+# unreadable):
+#   - landmark device time (assembly + matvec + cost kernels and every op
+#     with a landmark-proportional dim): scales ~1/n over the mesh;
+#   - pose-side time, split into the part the pose-sharded engine
+#     partitions 1/n (second-level finish, preconditioner, CG algebra,
+#     retraction) and the per-device fixed residue (full-table candidate
+#     write + accept select).
+FLAGSHIP_DEFAULTS = {
+    "lm_iter_ms": 18.2,
+    "landmark_ms": 15.07,
+    "pose_shardable_ms": 1.0,
+    "pose_fixed_ms": 0.34,
+    "cg_per_lm": 4.55,
+}
 
 
 def _flagship_measured():
     """Measured phase-split inputs for the ICI projection.
 
     Prefers benchmarks/flagship_profile.json (written by
-    profile_flagship.py on the real chip in its default configuration) so a
-    bench recapture refreshes the projection mechanically; falls back to
-    the documented constants above. Returns (lm_iter_ms, replicated_ms,
-    cg_per_lm, source)."""
+    profile_flagship.py on the real chip in its default configuration) so
+    a bench recapture refreshes the projection mechanically; falls back to
+    the documented constants above. Returns (prof dict, source)."""
     import json
     import os
 
@@ -70,50 +76,62 @@ def _flagship_measured():
     try:
         with open(path) as f:
             prof = json.load(f)
-        return (
-            float(prof["lm_iter_ms"]),
-            float(prof.get("replicated_ms", FLAGSHIP_REPLICATED_MS)),
-            float(prof["cg_per_lm"]),
-            "benchmarks/flagship_profile.json",
-        )
+        keys = ("lm_iter_ms", "landmark_ms", "pose_shardable_ms",
+                "pose_fixed_ms", "cg_per_lm")
+        if not all(k in prof for k in keys):
+            raise KeyError("stale flagship_profile.json (missing split)")
+        return {k: float(prof[k]) for k in keys}, \
+            "benchmarks/flagship_profile.json"
     except (OSError, KeyError, ValueError):
-        return (FLAGSHIP_LM_ITER_MS, FLAGSHIP_REPLICATED_MS,
-                FLAGSHIP_CG_PER_LM, "module constants (PERF.md round-3)")
+        return dict(FLAGSHIP_DEFAULTS), "module constants (round-4 capture)"
 
 
-def ici_projection(num_opt_poses: int, lm_iter_ms: float,
-                   replicated_ms: float, cg_per_lm: float,
-                   device_counts) -> list[dict]:
+def ici_projection(num_opt_poses: int, prof: dict, device_counts,
+                   pose_sharded: bool = True) -> list[dict]:
     """Projected strong-scaling efficiency of the sharded PM engine on a
-    real v5e ICI mesh, from measured compute + modeled collectives."""
+    real v5e ICI mesh, from the MEASURED single-chip phase split
+    (benchmarks/flagship_profile.json -- landmark-scaled, pose-shardable,
+    and per-device-fixed device time) plus modeled collectives
+    (`comm_volume_model`'s exact payload bytes, ring-transit factors, and
+    a per-collective latency).
+
+    pose_sharded=True models the default engine (pose algebra partitioned
+    1/n; per-CG all-gather + reduce-scatter); False models the round-3
+    replicated-pose program (whole pose side constant per device).
+    """
     from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
         comm_volume_model,
     )
 
-    model = comm_volume_model(num_opt_poses, 0)
-    assembly_bytes = model["assembly_panel_bytes"]
-    per_cg_bytes = model["cg_matvec_bytes_per_cg_iter"]
-    sharded_ms = lm_iter_ms - replicated_ms
+    landmark = prof["landmark_ms"]
+    shardable = prof["pose_shardable_ms"]
+    fixed = prof["pose_fixed_ms"]
+    cg_per_lm = prof["cg_per_lm"]
+    t1 = landmark + shardable + fixed  # single-device DEVICE time
     rows = []
     for n in device_counts:
+        model = comm_volume_model(
+            num_opt_poses, cg_per_lm, pose_sharded=pose_sharded,
+            num_shards=n,
+        )
         if n == 1:
             comm_ms = 0.0
         else:
-            psums = 1 + cg_per_lm + 3  # assembly + per-CG + scalar psums
-            payload = assembly_bytes + cg_per_lm * per_cg_bytes + 12
             comm_ms = (
-                2.0 * payload * (n - 1) / n / ICI_RING_BW
-                + psums * ICI_LATENCY_PER_PSUM
+                model["ring_transit_bytes_per_lm_iter"] / ICI_RING_BW
+                + model["collectives_per_lm_iter"] * ICI_LATENCY_PER_PSUM
             ) * 1e3
-        t = sharded_ms / n + replicated_ms + comm_ms
-        ideal = lm_iter_ms / n
+        if pose_sharded:
+            t = (landmark + shardable) / n + fixed + comm_ms
+        else:
+            t = landmark / n + shardable + fixed + comm_ms
         rows.append({
             "devices": n,
             "lm_iter_ms": round(t, 3),
             "comm_ms": round(comm_ms, 4),
-            "speedup": round(lm_iter_ms / t, 3),
-            "efficiency": round(lm_iter_ms / t / n, 4),
-            "ideal_lm_iter_ms": round(ideal, 3),
+            "speedup": round(t1 / t, 3),
+            "efficiency": round(t1 / t / n, 4),
+            "ideal_lm_iter_ms": round(t1 / n, 3),
         })
     return rows
 
@@ -249,15 +267,18 @@ def main() -> int:
              "final_cost": cost}
         )
 
-    lm_iter_ms, replicated_ms, cg_per_lm, split_source = _flagship_measured()
-    projection = ici_projection(
-        10_000, lm_iter_ms, replicated_ms, cg_per_lm, [1, 2, 4, 8, 16, 32],
+    prof, split_source = _flagship_measured()
+    counts_proj = [1, 2, 4, 8, 16, 32]
+    projection = ici_projection(10_000, prof, counts_proj, pose_sharded=True)
+    projection_rep = ici_projection(
+        10_000, prof, counts_proj, pose_sharded=False
     )
     print("\nICI projection (flagship 10k/1M, measured phase split):")
-    print(f"{'devices':>8} {'lm_iter_ms':>11} {'comm_ms':>8} {'efficiency':>11}")
-    for r in projection:
+    print(f"{'devices':>8} {'lm_iter_ms':>11} {'comm_ms':>8}"
+          f" {'pose-sharded':>13} {'replicated':>11}")
+    for r, rr in zip(projection, projection_rep):
         print(f"{r['devices']:>8} {r['lm_iter_ms']:>11} {r['comm_ms']:>8}"
-              f" {r['efficiency']:>10.1%}")
+              f" {r['efficiency']:>12.1%} {rr['efficiency']:>10.1%}")
 
     artifact = {
         # Headline evidence first: the ICI projection is computed from
@@ -271,15 +292,15 @@ def main() -> int:
             "assumptions": {
                 "ici_ring_bw_bytes_per_s": ICI_RING_BW,
                 "latency_per_psum_s": ICI_LATENCY_PER_PSUM,
-                "lm_iter_ms_1chip_measured": lm_iter_ms,
-                "replicated_pose_side_ms": replicated_ms,
-                "cg_iters_per_lm_measured": cg_per_lm,
+                "measured_phase_split_ms": prof,
                 "source": split_source,
             },
+            "engine": "pose_sharded (default, parallel/sharded_pm.py)",
             "rows": projection,
+            "replicated_pose_side_engine_rows": projection_rep,
         },
         "comm_model_per_lm_iteration": comm_volume_model(
-            10_000, int(round(cg_per_lm))
+            10_000, prof["cg_per_lm"], pose_sharded=True, num_shards=8
         ),
         "virtual_mesh_check": {
             "mode": args.mode,

@@ -210,6 +210,42 @@ def compose(
     return R, t
 
 
+def compose_flat(
+    dR: jax.Array, dt: jax.Array, R9: jax.Array, t: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """`compose` with the right-hand pose in flat row-major 9-column form.
+
+    The point-major solvers carry poses as packed (rows, 16) gather tables
+    (R row-major in columns 0:9, t in 9:12) -- the layout the Pallas
+    kernels consume -- because (N, 3, 3) arrays tile to (4, 128) on TPU and
+    every elementwise/update op on them pays layout copies (measured 0.6 ms
+    per flagship LM iteration). This computes (dR @ R, dR @ t + dt) column
+    by column in exact f32 multiplies, staying in flat form throughout.
+
+    dR (..., 3, 3), dt (..., 3), R9 (..., 9), t (..., 3) -> ((..., 9),
+    (..., 3)).
+    """
+    d = [[dR[..., i, k] for k in range(3)] for i in range(3)]
+    Rn = jnp.stack(
+        [
+            d[i][0] * R9[..., j] + d[i][1] * R9[..., 3 + j]
+            + d[i][2] * R9[..., 6 + j]
+            for i in range(3)
+            for j in range(3)
+        ],
+        axis=-1,
+    )
+    tn = jnp.stack(
+        [
+            d[i][0] * t[..., 0] + d[i][1] * t[..., 1] + d[i][2] * t[..., 2]
+            + dt[..., i]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    return Rn, tn
+
+
 def inverse_se3(R: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Inverse rigid transform: (R^T, -R^T t).
 

@@ -569,13 +569,22 @@ def _cost_kernel(shape: PMShape, big: bool, gbase_ref, pose_tbl_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pose_table(R_cw, t_cw, P):
-    """Pack (N, 3, 3) + (N, 3) into a zero-padded (N + P, 16) gather table."""
+def pose_table(R_cw, t_cw, P):
+    """Pack (N, 3, 3) + (N, 3) into a zero-padded (N + P, 16) gather table.
+
+    The point-major solvers CARRY this table across LM iterations (flat
+    16-column rows tile cleanly as (8, 128) VMEM/HBM pages; (N, 3, 3)
+    arrays tile as (4, 128) and every update on them pays layout copies),
+    so per-iteration kernel calls take the table directly
+    (assemble_pm_tbl / cost_pm_tbl)."""
     N = R_cw.shape[0]
     tbl = jnp.zeros((N + P, 16), jnp.float32)
     tbl = tbl.at[:N, :9].set(R_cw.reshape(N, 9))
     tbl = tbl.at[:N, 9:12].set(t_cw)
     return tbl
+
+
+_pose_table = pose_table  # internal alias (pre-refactor name)
 
 
 def _cam_table(rig):
@@ -627,26 +636,15 @@ def _tri_to_full(Atri):
 @functools.partial(
     jax.jit, static_argnames=("shape", "interpret", "u_dtype", "emit_schur")
 )
-def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
-                         X, rig, lam, huber, interpret: bool = False,
-                         u_dtype: str = "float32",
-                         emit_schur: bool = False):
-    """Run the fused assembly kernel, returning the pose system as flat
-    per-shard partials (for a psum in distributed mode).
-
-    Returns (flat, Cb, U):
-      flat (n_opt, A_COLS or A_COLS_SCHUR): [0:21) undamped upper-tri A,
-      [21:27) gradient a, [27:33) B Cinv b, and with emit_schur=True
-      [33:54) the Schur-diagonal correction (schur_precond_tri input),
-      Cb (16, Mp) point-block planes (damped, local to this shard's points),
-      U (18, Kp, Mp) coupling planes in `u_dtype` ("bfloat16" halves the
-      matvec's U traffic for DMA-bound problems at a slightly higher
-      convergence floor; "float32" default).
-    """
+def assemble_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl,
+                    X, rig, lam, huber, interpret: bool = False,
+                    u_dtype: str = "float32",
+                    emit_schur: bool = False):
+    """`assemble_pm_partials` on a pre-packed (N + P, 16) pose table (the
+    form the point-major solvers carry across LM iterations)."""
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     Mp, nblocks = shape.padded_points, shape.num_blocks
     cols = A_COLS_SCHUR if emit_schur else A_COLS
-    pose_tbl = _pose_table(R_cw, t_cw, P)
     cam_tbl = _cam_table(rig)
     scal = jnp.stack([lam, jnp.asarray(huber, jnp.float32)]).reshape(1, 2)
 
@@ -698,6 +696,31 @@ def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
 
     flat = _second_level(Apan, pm.sbase, shape.num_opt_poses, P, cols)
     return flat, Cb, U
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "interpret", "u_dtype", "emit_schur")
+)
+def assemble_pm_partials(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw,
+                         X, rig, lam, huber, interpret: bool = False,
+                         u_dtype: str = "float32",
+                         emit_schur: bool = False):
+    """Run the fused assembly kernel, returning the pose system as flat
+    per-shard partials (for a cross-shard reduction in distributed mode).
+
+    Returns (flat, Cb, U):
+      flat (n_opt, A_COLS or A_COLS_SCHUR): [0:21) undamped upper-tri A,
+      [21:27) gradient a, [27:33) B Cinv b, and with emit_schur=True
+      [33:54) the Schur-diagonal correction (schur_precond_tri input),
+      Cb (16, Mp) point-block planes (damped, local to this shard's points),
+      U (18, Kp, Mp) coupling planes in `u_dtype` ("bfloat16" halves the
+      matvec's U traffic for DMA-bound problems at a slightly higher
+      convergence floor; "float32" default).
+    """
+    return assemble_pm_tbl(
+        pm, shape, pose_table(R_cw, t_cw, shape.window), X, rig, lam,
+        huber, interpret=interpret, u_dtype=u_dtype, emit_schur=emit_schur,
+    )
 
 
 def finish_pose_system_tri(flat, lam):
@@ -841,13 +864,11 @@ def schur_rhs_pm(pm: PointMajorProblem, shape: PMShape, a, Cb, U,
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "interpret"))
-def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
-            interpret: bool = False):
-    """Residual-only cost pass. Returns (sum ||r||, sum w r^2, sum r^2,
-    valid count) as f32 scalars (scaled pixel units)."""
+def cost_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl, X, rig,
+                huber, interpret: bool = False):
+    """`cost_pm` on a pre-packed (N + P, 16) pose table."""
     Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
     nblocks = shape.num_blocks
-    pose_tbl = _pose_table(R_cw, t_cw, P)
     cam_tbl = _cam_table(rig)
     scal = jnp.stack(
         [jnp.asarray(0.0, jnp.float32), jnp.asarray(huber, jnp.float32)]
@@ -885,3 +906,13 @@ def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
         interpret=interpret,
     )(pm.gbase, pose_tbl, cam_tbl, scal, pm.obs_f32, pm.slot_pose, X)[0]
     return tot[0], tot[1], tot[2], tot[3]
+
+
+def cost_pm(pm: PointMajorProblem, shape: PMShape, R_cw, t_cw, X, rig, huber,
+            interpret: bool = False):
+    """Residual-only cost pass. Returns (sum ||r||, sum w r^2, sum r^2,
+    valid count) as f32 scalars (scaled pixel units)."""
+    return cost_pm_tbl(
+        pm, shape, pose_table(R_cw, t_cw, shape.window), X, rig, huber,
+        interpret=interpret,
+    )

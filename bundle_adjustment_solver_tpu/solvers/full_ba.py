@@ -111,13 +111,21 @@ def _cg_tolerance(opts: Options, rhs, rhs_norm_prev, eta_prev):
     Returns (tol, eta, rhs_norm) with tol = eta^2 so the PCG's
     squared-residual test stops at ||r|| <= eta ||rhs||.
     """
-    rhs_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+    return _cg_tolerance_from_norm(
+        opts, jnp.sqrt(jnp.sum(rhs * rhs)), rhs_norm_prev, eta_prev
+    )
+
+
+def _cg_tolerance_from_norm(opts: Options, rhs_norm, rhs_norm_prev,
+                            eta_prev):
+    """`_cg_tolerance` on a precomputed ||rhs|| -- the pose-sharded engine
+    reduces the norm across the mesh before the forcing choice."""
     # eta/rhs_norm ride the LM while_loop carry, so they must match the
     # problem dtype (f64 problems via finalized_from_arrays(dtype=...)).
     if getattr(opts, "cg_forcing", "fixed") != "ew":
         return (
-            jnp.asarray(opts.cg_tolerance, rhs.dtype),
-            jnp.asarray(0.0, rhs.dtype),
+            jnp.asarray(opts.cg_tolerance, rhs_norm.dtype),
+            jnp.asarray(0.0, rhs_norm.dtype),
             rhs_norm,
         )
     gamma = 0.9

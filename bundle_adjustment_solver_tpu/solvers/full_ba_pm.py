@@ -38,7 +38,7 @@ import numpy as np
 
 from ..models.layout import PMShape, PointMajorProblem, build_point_major
 from ..models.problem import FinalizedProblem, ProblemShape
-from ..ops.lie import compose, inverse_se3, se3_exp
+from ..ops.lie import compose_flat, inverse_se3, se3_exp
 from ..ops.pallas import full_ba_pm as K
 from ..options import IterationStatus, Options, SolverType
 from ..summary import (
@@ -59,8 +59,11 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 class _Carry(NamedTuple):
-    R_cw: jax.Array
-    t_cw: jax.Array
+    # Poses live in the packed (N + P, 16) gather-table form the kernels
+    # consume (R row-major in cols 0:9, t in 9:12, rest zero): carrying
+    # (N, 3, 3) arrays instead costs ~0.7 ms/LM-iteration of TPU layout
+    # copies + table rebuilds at the flagship scale (they tile (4, 128)).
+    tbl: jax.Array
     X: jax.Array  # (4, Mp) point-major (row 3 = opt mask, never changes)
     lam: jax.Array
     prev_cost: jax.Array
@@ -133,38 +136,153 @@ def pm_from_finalized(
     )
 
 
-def gather_opt_poses(R_cw, t_cw, opt_pose_idx, shape: PMShape):
-    """(R, t) rows of the optimizable poses. Uses static slices when the
-    opt range is contiguous (PMShape.opt_start), the general gather
-    otherwise -- identical values either way."""
-    s = shape.opt_start
-    if s is not None:
-        n = shape.num_opt_poses
-        return (
-            jax.lax.slice_in_dim(R_cw, s, s + n),
-            jax.lax.slice_in_dim(t_cw, s, s + n),
-        )
-    return R_cw[opt_pose_idx], t_cw[opt_pose_idx]
+def pm_problem_from_arrays(
+    cameras,
+    poses_world_to_camera: np.ndarray,  # (N, 4, 4)
+    points: np.ndarray,  # (M, 3)
+    obs_cam: np.ndarray,
+    obs_pose: np.ndarray,
+    obs_point: np.ndarray,
+    obs_pixel: np.ndarray,  # (O, 2) raw pixels
+    fixed_pose_mask: np.ndarray | None = None,
+    fixed_point_mask: np.ndarray | None = None,
+    scale: float = 0.01,
+    block_points: int | None = None,
+    max_slots: int = 32,
+    max_window: int = 2048,
+    pad_blocks_to: int = 1,
+):
+    """Direct arrays -> point-major problem, skipping the sorted
+    observation table entirely.
 
+    `finalized_from_arrays` spends ~2.5 s at the flagship scale (12M
+    observations, single core) on the native counting-sort finalize -- the
+    analogue of the reference's FinalizeParameters/SetProblemSize pass
+    (core/full_bundle_adjustment_solver.cpp:631-663) -- but that sorted
+    table only feeds the observation-table engine: the point-major layout
+    build buckets observations by landmark itself (csrc ba_pm_probe /
+    ba_pm_fill are input-order-independent). This is the fast arrays-to-
+    solution path for PM-engine solves.
 
-def scatter_opt_poses(R_cw, t_cw, R_new, t_new, opt_pose_idx,
-                      shape: PMShape):
-    """Write updated opt-pose rows back into the full pose arrays.
+    Returns (problem, shape, pm, pshape) or None when the problem exceeds
+    the layout's static bounds. `problem` is a FinalizedProblem whose
+    observation-table columns and points are EMPTY (0-length) -- the PM
+    engines read only rig / R_cw / t_cw / opt indices from it; route
+    through `finalized_from_arrays` when the observation-table engine may
+    be needed.
+    """
+    from ..models.camera import CameraRig
+    from ..models.layout import build_point_major
+    from ..models.problem import FinalizedProblem, ProblemShape
 
-    The general `.at[idx].set` scatter is the single largest replicated op
-    of the flagship LM iteration (0.43 ms of the 1.13 ms pose-side total,
-    benchmarks/flagship_profile.json); a contiguous opt range turns it
-    into a dynamic-update-slice."""
-    s = shape.opt_start
-    if s is not None:
-        return (
-            jax.lax.dynamic_update_slice_in_dim(R_cw, R_new, s, 0),
-            jax.lax.dynamic_update_slice_in_dim(t_cw, t_new, s, 0),
-        )
-    return (
-        R_cw.at[opt_pose_idx].set(R_new),
-        t_cw.at[opt_pose_idx].set(t_new),
+    N = poses_world_to_camera.shape[0]
+    M = points.shape[0]
+    if block_points is None:
+        # Same heuristic as pm_from_finalized.
+        block_points = 1024 if M >= 100_000 else 256
+    if fixed_pose_mask is None:
+        fixed_pose_mask = np.zeros(N, dtype=bool)
+    if fixed_point_mask is None:
+        fixed_point_mask = np.zeros(M, dtype=bool)
+    n_opt = int((~fixed_pose_mask).sum())
+    m_opt = int((~fixed_point_mask).sum())
+    pose_opt_of = np.full(N, n_opt, dtype=np.int32)
+    pose_opt_of[~fixed_pose_mask] = np.arange(n_opt, dtype=np.int32)
+
+    R_wc = poses_world_to_camera[:, :3, :3]
+    t_wc = poses_world_to_camera[:, :3, 3]
+    R_cw = np.transpose(R_wc, (0, 2, 1))
+    t_cw = -np.einsum("nij,nj->ni", R_cw, t_wc) * scale
+
+    res = build_point_major(
+        np.asarray(obs_pose, np.int32),
+        np.asarray(obs_point, np.int32),
+        np.asarray(obs_cam, np.int32),
+        np.asarray(obs_pixel, np.float64) * scale,
+        np.asarray(points, np.float64) * scale,
+        pose_opt_of,
+        ~np.asarray(fixed_point_mask, bool),
+        len(list(cameras)),
+        scale,
+        num_opt_poses=n_opt,
+        block_points=block_points,
+        max_slots=max_slots,
+        max_window=max_window,
+        pad_blocks_to=pad_blocks_to,
     )
+    if res is None:
+        return None
+    pm, pshape = res
+
+    rig = CameraRig.from_cameras(list(cameras), scale=scale)
+    empty_i = jnp.zeros((0,), jnp.int32)
+    problem = FinalizedProblem(
+        rig=rig,
+        R_cw=jnp.asarray(R_cw, jnp.float32),
+        t_cw=jnp.asarray(t_cw, jnp.float32),
+        points=jnp.zeros((0, 3), jnp.float32),
+        obs_cam=empty_i,
+        obs_pose=empty_i,
+        obs_point=empty_i,
+        obs_pixel=jnp.zeros((0, 2), jnp.float32),
+        obs_pose_opt=empty_i,
+        obs_point_opt=empty_i,
+        obs_valid=jnp.zeros((0,), bool),
+        opt_pose_idx=jnp.asarray(
+            np.nonzero(~fixed_pose_mask)[0].astype(np.int32)
+        ),
+        opt_point_idx=jnp.asarray(
+            np.nonzero(~np.asarray(fixed_point_mask, bool))[0].astype(
+                np.int32
+            )
+        ),
+    )
+    shape = ProblemShape(
+        num_poses=N,
+        num_points=M,
+        num_observations=int(np.asarray(obs_pose).shape[0]),
+        num_opt_poses=n_opt,
+        num_opt_points=m_opt,
+        num_cameras=len(list(cameras)),
+        scale=scale,
+    )
+    return problem, shape, pm, pshape
+
+
+def gather_opt_rows(tbl, opt_pose_idx, shape: PMShape):
+    """The optimizable poses' (n_opt, 16) table rows. Uses a static slice
+    when the opt range is contiguous (PMShape.opt_start), the general
+    gather otherwise -- identical values either way."""
+    s = shape.opt_start
+    if s is not None:
+        return jax.lax.slice_in_dim(tbl, s, s + shape.num_opt_poses)
+    return tbl[opt_pose_idx]
+
+
+def scatter_opt_rows(tbl, rows, opt_pose_idx, shape: PMShape):
+    """Write updated opt-pose rows back into the full pose table.
+
+    The general `.at[idx].set` scatter was the single largest replicated
+    op of the flagship LM iteration (0.43 ms of the 1.13 ms pose-side
+    total, benchmarks/flagship_profile.json); a contiguous opt range turns
+    it into one dynamic-update-slice on the flat (rows, 16) table."""
+    s = shape.opt_start
+    if s is not None:
+        return jax.lax.dynamic_update_slice_in_dim(tbl, rows, s, 0)
+    return tbl.at[opt_pose_idx].set(rows)
+
+
+def retract_opt_rows(tbl, x, opt_pose_idx, shape: PMShape):
+    """Candidate pose table: rows[opt] <- exp(x) * rows[opt], entirely in
+    flat table form (cf. the reference's per-pose update at
+    core/full_bundle_adjustment_solver.cpp:955-1000)."""
+    dR, dt = se3_exp(x)
+    opt_rows = gather_opt_rows(tbl, opt_pose_idx, shape)
+    R9n, t3n = compose_flat(dR, dt, opt_rows[:, :9], opt_rows[:, 9:12])
+    rows = jnp.concatenate(
+        [R9n, t3n, jnp.zeros((x.shape[0], 4), tbl.dtype)], axis=1
+    )
+    return scatter_opt_rows(tbl, rows, opt_pose_idx, shape)
 
 
 def _apply_cinv(Cb, t):
@@ -377,9 +495,9 @@ def _pm_loop_pieces(
     is_gd = opts.solver_type == SolverType.GRADIENT_DESCENT
     n_params = shape.num_opt_poses + jnp.sum(pm.X[3])  # opt poses + landmarks
 
-    def eval_cost(R_cw, t_cw, X):
-        s_norm, s_wsq, _, _ = K.cost_pm(
-            pm, shape, R_cw, t_cw, X, rig, huber, interpret=interpret
+    def eval_cost(tbl, X):
+        s_norm, s_wsq, _, _ = K.cost_pm_tbl(
+            pm, shape, tbl, X, rig, huber, interpret=interpret
         )
         return s_wsq if metric == "squared" else s_norm
 
@@ -392,8 +510,8 @@ def _pm_loop_pieces(
 
     def body(c: _Carry):
         lam_eff = c.lam if is_lm else jnp.asarray(_GN_LAMBDA, dtype)
-        flat, Cb, U = K.assemble_pm_partials(
-            pm, shape, c.R_cw, c.t_cw, c.X, rig, lam_eff, huber,
+        flat, Cb, U = K.assemble_pm_tbl(
+            pm, shape, c.tbl, c.X, rig, lam_eff, huber,
             interpret=interpret, u_dtype=u_dtype, emit_schur=use_schur,
         )
         Atri, a, rhs = K.finish_pose_system_tri(flat, lam_eff)
@@ -432,15 +550,10 @@ def _pm_loop_pieces(
             y = _apply_cinv(Cb, t)  # (3, Mp)
 
         # Candidate update: T_cw <- exp(x) T_cw, X += y.
-        dR, dt = se3_exp(x)
-        R_opt, t_opt = gather_opt_poses(c.R_cw, c.t_cw, opt_pose_idx, shape)
-        R_new, t_new = compose(dR, dt, R_opt, t_opt)
-        R_cand, t_cand = scatter_opt_poses(
-            c.R_cw, c.t_cw, R_new, t_new, opt_pose_idx, shape
-        )
+        tbl_cand = retract_opt_rows(c.tbl, x, opt_pose_idx, shape)
         X_cand = c.X.at[:3].add(y * c.X[3:4])
 
-        current_cost = eval_cost(R_cand, t_cand, X_cand)
+        current_cost = eval_cost(tbl_cand, X_cand)
         # NaN/inf guard (see solvers/full_ba.py): reject non-finite
         # candidates without poisoning prev_cost.
         cost_ok = jnp.isfinite(current_cost)
@@ -480,8 +593,7 @@ def _pm_loop_pieces(
             lam_new = c.lam
             status = jnp.asarray(float(int(IterationStatus.UPDATE)), dtype)
 
-        R_next = jnp.where(accept, R_cand, c.R_cw)
-        t_next = jnp.where(accept, t_cand, c.t_cw)
+        tbl_next = jnp.where(accept, tbl_cand, c.tbl)
         X_next = jnp.where(accept, X_cand, c.X)
 
         cost_change = jnp.abs(current_cost - c.prev_cost)
@@ -514,8 +626,7 @@ def _pm_loop_pieces(
         row = row.at[INFO_CG_ITERS].set(cg_it.astype(dtype))
 
         return _Carry(
-            R_cw=R_next,
-            t_cw=t_next,
+            tbl=tbl_next,
             X=X_next,
             lam=lam_new,
             prev_cost=jnp.where(cost_ok, current_cost, c.prev_cost),
@@ -546,13 +657,13 @@ def _pm_init_carry_jax(
         pm, shape, rig, opt_pose_idx, options, interpret
     )
     max_iter = options.iteration_handle.max_num_iterations
+    tbl0 = K.pose_table(R_cw0, t_cw0, shape.window)
     return _Carry(
-        R_cw=R_cw0,
-        t_cw=t_cw0,
+        tbl=tbl0,
         X=pm.X,
         lam=jnp.asarray(options.trust_region_handle.initial_lambda,
                         jnp.float32),
-        prev_cost=eval_cost(R_cw0, t_cw0, pm.X),
+        prev_cost=eval_cost(tbl0, pm.X),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         converged=jnp.asarray(False),
@@ -587,14 +698,14 @@ def _pm_finalize_jax(
 ) -> tuple:
     huber = options.outlier_handle.threshold_huber_loss * shape.scale
     inv_scale = 1.0 / shape.scale
-    _, _, s_sq, s_cnt = K.cost_pm(
-        pm, shape, carry.R_cw, carry.t_cw, carry.X, rig, huber,
-        interpret=interpret,
+    _, _, s_sq, s_cnt = K.cost_pm_tbl(
+        pm, shape, carry.tbl, carry.X, rig, huber, interpret=interpret,
     )
     rmse_px = jnp.sqrt(s_sq / jnp.maximum(s_cnt, 1.0)) * inv_scale
+    N = shape.num_poses
     return (
-        carry.R_cw,
-        carry.t_cw,
+        carry.tbl[:N, :9].reshape(N, 3, 3),
+        carry.tbl[:N, 9:12],
         carry.X,
         carry.converged,
         carry.it,

@@ -66,7 +66,7 @@ def timed_blocked(fn, *args, repeats: int = 10, **kwargs):
 # Through a device tunnel, chunked-dispatch wall timing reports
 # dispatch+fetch (~40-85 ms/iteration) instead of device time. The profiler
 # trace carries true device timestamps: each LM iteration of the point-major
-# engine begins with one `assemble_pm_partials` kernel, so the gaps between
+# engine begins with one `assemble_pm_tbl` kernel, so the gaps between
 # consecutive assembly-kernel starts on the TPU plane ARE the per-iteration
 # device times (the final iteration closes at the end of the last event).
 
@@ -124,7 +124,8 @@ def _xla_ops_line(trace_dir: str):
     return None
 
 
-def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int):
+def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int,
+                   full_pose_dims: tuple = ()):
     """Measured landmark-sharded vs pose-side (replicated) device time per
     LM iteration, from a jax.profiler trace of the point-major engine.
 
@@ -146,9 +147,17 @@ def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int):
     (once-per-solve setup / final cost) are excluded so the split is the
     steady-state per-iteration cost.
 
-    Returns dict(landmark_ms, replicated_ms, device_lm_iter_ms,
-    top_replicated) -- all per LM iteration -- or None when the trace has
-    no TPU plane.
+    `full_pose_dims` (optional) further splits the pose side: ops touching
+    the FULL pose table (a dim exactly in the given set, e.g.
+    {num_poses, num_poses + window}) stay per-device even in the
+    pose-sharded distributed engine (parallel/sharded_pm.py) -- the
+    candidate-table write and accept select -- while the rest of the pose
+    algebra (opt-row retraction, CG vector ops, preconditioner) shards
+    1/D. Reported as pose_fixed_ms / pose_shardable_ms.
+
+    Returns dict(landmark_ms, replicated_ms, pose_fixed_ms,
+    pose_shardable_ms, device_lm_iter_ms, top_replicated) -- all per LM
+    iteration -- or None when the trace has no TPU plane.
     """
     import collections
     import re
@@ -165,6 +174,8 @@ def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int):
         cnt[nm] += 1
     landmark_ps = 0
     replicated_ps = 0
+    fixed_ps = 0
+    full_set = set(full_pose_dims)
     top = collections.Counter()
     for nm, ps in agg.items():
         base = nm.lstrip("%").split(" = ")[0]
@@ -182,10 +193,14 @@ def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int):
             landmark_ps += ps
         else:
             replicated_ps += ps
+            if full_set and any(d in full_set for d in dims):
+                fixed_ps += ps
             top[re.sub(r"\.\d+$", "", base)] += ps
     return {
         "landmark_ms": landmark_ps / 1e9 / lm_iters,
         "replicated_ms": replicated_ps / 1e9 / lm_iters,
+        "pose_fixed_ms": fixed_ps / 1e9 / lm_iters,
+        "pose_shardable_ms": (replicated_ps - fixed_ps) / 1e9 / lm_iters,
         "device_lm_iter_ms": (landmark_ps + replicated_ps) / 1e9 / lm_iters,
         "top_replicated": {
             k: round(v / 1e9 / lm_iters, 4) for k, v in top.most_common(8)
@@ -194,7 +209,7 @@ def phase_split_ms(trace_dir: str, lm_iters: int, lm_dim_floor: int):
 
 
 def device_iteration_times_ms(
-    trace_dir: str, marker: str = "assemble_pm_partials"
+    trace_dir: str, marker: str = "assemble_pm"
 ):
     """Per-iteration DEVICE times (ms) from a jax.profiler trace.
 

@@ -502,10 +502,10 @@ class TestBigTableMode:
             # would otherwise reuse the resident-mode executables.
             for fn in (
                 full_ba_pm._solve_pm_jax,
-                KK.assemble_pm_partials,
+                KK.assemble_pm_tbl,
                 KK.matvec_corr_pm,
                 KK.rhs_corr_pm,
-                KK.cost_pm,
+                KK.cost_pm_tbl,
             ):
                 fn.clear_cache()
 
@@ -959,3 +959,48 @@ def test_contiguous_opt_fast_path_matches_scatter():
     np.testing.assert_array_equal(
         np.asarray(state_fast.points), np.asarray(state_gen.points)
     )
+
+
+def test_pm_problem_from_arrays_matches_finalized():
+    """The direct arrays->PM constructor (skips the sorted observation
+    table, the expensive finalize pass) must produce bit-identical planes
+    and solves vs routing through finalized_from_arrays."""
+    from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
+        pm_from_finalized,
+        pm_problem_from_arrays,
+    )
+
+    prob = corridor_ba_problem(num_poses=24, num_points=700, window=5, seed=9)
+    fixed = np.zeros(24, bool)
+    fixed[prob.fixed_pose_ids] = True
+    problem, shape, host = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed, return_host=True,
+    )
+    pm1, ps1 = pm_from_finalized(problem, shape, host=host)
+    p2, s2, pm2, ps2 = pm_problem_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed,
+    )
+    assert ps1 == ps2
+    assert s2.num_observations == shape.num_observations
+    for name in pm1._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pm1, name)), np.asarray(getattr(pm2, name)),
+            err_msg=f"plane {name} differs",
+        )
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(5),
+        reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-9,
+    )
+    a, _ = solve_pm(problem, shape, opts, pm_and_shape=(pm1, ps1))
+    b, _ = solve_pm(p2, s2, opts, pm_and_shape=(pm2, ps2))
+    np.testing.assert_array_equal(
+        np.asarray(a.poses_world_to_camera),
+        np.asarray(b.poses_world_to_camera),
+    )
+    np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))

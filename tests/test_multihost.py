@@ -72,10 +72,14 @@ def test_two_process_mesh_parity(tmp_path):
         # Parity asserted in-process; echoed values must agree across hosts.
         assert r["sharded_ba_cost"] == results[0]["sharded_ba_cost"]
         assert r["sharded_pm_cost"] == results[0]["sharded_pm_cost"]
-    # The machine-readable psum-volume model is part of the artifact.
+    # The machine-readable collective-volume model is part of the artifact
+    # (pose-sharded engine: reduce-scatter panel + per-CG gather/scatter +
+    # pose-row gather + scalars).
     cm = results[0]["comm_model"]
+    assert cm["pose_sharded"] is True
     assert cm["total_bytes_per_lm_iter"] == (
         cm["assembly_panel_bytes"]
-        + cm["cg_iterations_per_lm"] * cm["cg_matvec_bytes_per_cg_iter"]
+        + cm["cg_iterations_per_lm"] * cm["cg_bytes_per_cg_iter"]
+        + cm["pose_row_gather_bytes"]
         + cm["scalar_bytes_per_lm_iter"]
     )

@@ -129,7 +129,8 @@ def main() -> int:
         "sharded_ba_cost": state["final_cost"],
         "sharded_pm_cost": pm_cost,
         "comm_model": sharded_pm.comm_volume_model(
-            shape.num_opt_poses, options.cg_max_iterations
+            shape.num_opt_poses, options.cg_max_iterations,
+            num_shards=n_global,
         ),
     }
     if args.out:
