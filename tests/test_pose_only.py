@@ -817,3 +817,71 @@ class TestCompactingBatched:
         np.testing.assert_allclose(
             np.asarray(cmp.pose), np.asarray(ref.pose), atol=1e-4
         )
+
+
+class TestCompactingAutoPolicy:
+    """check_every='auto' (VERDICT r3 weak #3): dispatch-aware boundary
+    policy. When the measured dispatch cost dwarfs the kernel work, the
+    driver must run ONE lockstep segment and reproduce the lockstep result
+    exactly (no segment-boundary err_prev resets)."""
+
+    def _problem(self):
+        from bundle_adjustment_solver_tpu.utils.synthetic import (
+            batched_stereo_pose_only_problem,
+        )
+
+        B, P = 16, 64
+        prob = batched_stereo_pose_only_problem(
+            num_frames=B, points_per_frame=P, seed=5, pixel_noise=0.3
+        )
+        return (
+            jnp.asarray(prob.points, jnp.float32),
+            jnp.asarray(prob.pixels_left, jnp.float32),
+            jnp.asarray(prob.pixels_right, jnp.float32),
+            jnp.ones((B, P), bool),
+            jnp.asarray(prob.intrinsics, jnp.float32),
+            jnp.asarray(prob.pose_left_to_right, jnp.float32),
+            jnp.asarray(prob.poses_initial, jnp.float32),
+        )
+
+    def test_expensive_dispatch_collapses_to_lockstep(self, monkeypatch):
+        pts, pixl, pixr, valid, intr, T_lr, poses0 = self._problem()
+        opts = make_options(max_iter=30, thr=1e-6).replace(
+            record_history=False
+        )
+        ref = pose_only.solve_stereo_6dof_batched(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, opts
+        )
+        monkeypatch.setattr(pose_only, "_DISPATCH_MS", 1e9)
+        auto = pose_only.solve_stereo_6dof_batched_compacting(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, opts,
+            check_every="auto", min_bucket=4,
+        )
+        # One segment => bitwise-identical trajectory to lockstep,
+        # including per-frame iteration counts.
+        np.testing.assert_array_equal(
+            np.asarray(auto.num_iterations), np.asarray(ref.num_iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(auto.pose), np.asarray(ref.pose)
+        )
+
+    def test_cheap_dispatch_still_matches(self, monkeypatch):
+        pts, pixl, pixr, valid, intr, T_lr, poses0 = self._problem()
+        opts = make_options(max_iter=30, thr=1e-6).replace(
+            record_history=False
+        )
+        ref = pose_only.solve_stereo_6dof_batched(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, opts
+        )
+        monkeypatch.setattr(pose_only, "_DISPATCH_MS", 1e-6)
+        auto = pose_only.solve_stereo_6dof_batched_compacting(
+            pts, pixl, pixr, valid, intr, intr, T_lr, poses0, opts,
+            check_every="auto", min_bucket=4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(auto.converged), np.asarray(ref.converged)
+        )
+        np.testing.assert_allclose(
+            np.asarray(auto.pose), np.asarray(ref.pose), atol=1e-5
+        )
