@@ -117,9 +117,67 @@ def main() -> int:
     print(f"full BA: rmse {summary.final_reprojection_rmse_px:.5f} px, "
           f"max pose error {pose_err:.4f} m")
 
-    # -- 5. large problems: bulk construction + the Pallas engine ------------
-    # (See bench.py for the 2.4M-observation benchmark and
-    # parallel/sharded_pm.py for the multi-device mesh version.)
+    # -- 5. large problems: direct arrays -> point-major Pallas engine ------
+    # The serving path: skip the sorted observation table entirely
+    # (pm_problem_from_arrays) and keep the layout/pm tables resident for
+    # repeated solves. bench.py runs this at 10k poses / 1M landmarks.
+    import jax
+
+    from bundle_adjustment_solver_tpu.models.problem import (
+        finalized_from_arrays,
+    )
+    from bundle_adjustment_solver_tpu.solvers import full_ba_pm
+    from bundle_adjustment_solver_tpu.utils.synthetic import (
+        corridor_ba_problem,
+    )
+
+    big = corridor_ba_problem(num_poses=60, num_points=4000, window=5, seed=3)
+    fixed = np.zeros(60, bool)
+    fixed[big.fixed_pose_ids] = True
+    pm_opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(1e-7, 1e-7),
+        iteration_handle=IterationHandle(30),
+        reduced_system="cg",
+        cg_max_iterations=25,
+        cg_forcing="ew",
+    )
+    problem_pm, shape_pm, pm, pshape = full_ba_pm.pm_problem_from_arrays(
+        big.cameras, big.poses_initial, big.points_initial,
+        big.obs_camera, big.obs_pose, big.obs_point, big.obs_pixel,
+        fixed_pose_mask=fixed,
+    )
+    state, pm_summary = full_ba_pm.solve_pm(
+        problem_pm, shape_pm, pm_opts, pm_and_shape=(pm, pshape)
+    )
+    print(
+        f"point-major engine: {shape_pm.num_observations} obs, "
+        f"rmse {float(state.final_rmse_px):.5f} px in "
+        f"{int(state.num_iterations)} LM iterations"
+    )
+
+    # Multi-device mesh (pose-sharded distributed engine): runs on however
+    # many devices are visible (8 virtual CPU devices under the test rig).
+    if len(jax.devices()) > 1:
+        from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
+            solve_sharded_pm,
+        )
+
+        problem_f, shape_f = finalized_from_arrays(
+            big.cameras, big.poses_initial, big.points_initial,
+            big.obs_camera, big.obs_pose, big.obs_point, big.obs_pixel,
+            fixed_pose_mask=fixed,
+        )
+        n_sh = min(4, len(jax.devices()))
+        state_sh, _ = solve_sharded_pm(
+            problem_f, shape_f, pm_opts, num_shards=n_sh
+        )
+        print(
+            f"sharded over {n_sh} devices: rmse "
+            f"{float(state_sh.final_rmse_px):.5f} px (matches single-device "
+            f"to f32 reduction order)"
+        )
+
     print("done")
     return 0
 
