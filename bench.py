@@ -256,9 +256,10 @@ def bench_full_ba() -> tuple[dict, dict]:
     return throughput, time_to_target, n_star
 
 
-def bench_full_ba_arrays_to_target(n_star: int) -> dict:
-    """END-TO-END clock: seconds from raw host arrays in hand to RMSE <=
-    TARGET_RMSE, INCLUDING the point-major layout build and the
+def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
+    """END-TO-END clocks (cold build, warm-topology re-solve): seconds from
+    raw host arrays in hand to RMSE <= TARGET_RMSE, INCLUDING the
+    point-major layout build and the
     host->device transfer (VERDICT r3 missing #2: the reference starts its
     stopwatch before FinalizeParameters, full cpp:631-663, so its reported
     total time covers the layout-build analogue; the solve-only
@@ -287,10 +288,15 @@ def bench_full_ba_arrays_to_target(n_star: int) -> dict:
 
     def pipeline():
         t0 = time.perf_counter()
+        # layout="host": on THIS rig the ~55 MB/s tunnel makes H2D the whole
+        # clock and the host path streams one 276 MB batch of planes; the
+        # device build (layout="auto" default on accelerators) wins on PCIe
+        # hosts, where it skips the 2.5 s single-core fill (device work:
+        # sort 0.18 s + scatters 0.95 s at 12M obs, PERF.md round 4).
         res = full_ba_pm.pm_problem_from_arrays(
             prob.cameras, prob.poses_initial, prob.points_initial,
             prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
-            fixed_pose_mask=fixed_pose,
+            fixed_pose_mask=fixed_pose, layout="host",
         )
         assert res is not None
         problem, shape, pm, pshape = res
@@ -310,7 +316,7 @@ def bench_full_ba_arrays_to_target(n_star: int) -> dict:
     assert rmse <= TARGET_RMSE, (
         f"arrays-to-target pipeline landed at {rmse:.4f} px > {TARGET_RMSE}"
     )
-    return {
+    cold = {
         "metric": (
             f"full_BA_seconds_from_host_arrays_to_rmse_{TARGET_RMSE}px "
             f"({NUM_POSES} poses, {NUM_POINTS} landmarks, layout build + "
@@ -329,6 +335,54 @@ def bench_full_ba_arrays_to_target(n_star: int) -> dict:
             (n_star * prob.obs_pose.shape[0] / 1e6 + 2.5) / secs, 3
         ),
     }
+
+    # Warm-topology re-solve (the SLAM serving pattern): same observation
+    # graph, NEW measurement/initial values each frame. PMLayoutCache
+    # refills the value planes from the raw columns -- 108 MB of values
+    # instead of 276 MB of planes, no host fill, no re-sort. The reference
+    # re-runs its whole FinalizeParameters host pass per Solve()
+    # (core/full_bundle_adjustment_solver.cpp:631-663).
+    res_c = full_ba_pm.pm_problem_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed_pose, layout="device", return_cache=True,
+    )
+    assert res_c is not None
+    problem, shape, pm, pshape, cache = res_c
+    scale = shape.scale
+    pix_scaled = (prob.obs_pixel * scale).astype(np.float32)
+    pts_scaled = (prob.points_initial * scale).astype(np.float32)
+
+    def resolve():
+        t0 = time.perf_counter()
+        pm2 = cache.refill(pm, pix_scaled, pts_scaled)
+        out = full_ba_pm._solve_pm_jax(
+            pm2, pshape, problem.rig, problem.R_cw, problem.t_cw,
+            problem.opt_pose_idx, opts, interpret=False,
+        )
+        rmse = _fetch(out[8])
+        return rmse, time.perf_counter() - t0
+
+    resolve()  # compile + warm
+    rmse_w, secs_w = resolve()
+    assert rmse_w <= TARGET_RMSE, (
+        f"warm-topology re-solve landed at {rmse_w:.4f} px > {TARGET_RMSE}"
+    )
+    warm = {
+        "metric": (
+            f"full_BA_seconds_resolve_warm_topology_to_rmse_{TARGET_RMSE}px "
+            f"({NUM_POSES} poses, {NUM_POINTS} landmarks, PMLayoutCache "
+            "refill: H2D of raw pixel/point values + device re-scatter + "
+            f"{n_star} LM iterations, achieved_rmse_px={rmse_w:.4f}; the "
+            "reference re-runs its full finalize pass per Solve)"
+        ),
+        "value": round(secs_w, 3),
+        "unit": "s",
+        "vs_baseline": round(
+            (n_star * prob.obs_pose.shape[0] / 1e6 + 2.5) / secs_w, 3
+        ),
+    }
+    return cold, warm
 
 
 def _pose_only_rate(run, n_lo, n_hi, reps=3) -> float:
@@ -760,7 +814,7 @@ def main():
         details.append(flagship)
         details.append(time_to_target)
         if IMPL == "pm":
-            details.append(bench_full_ba_arrays_to_target(n_star))
+            details.extend(bench_full_ba_arrays_to_target(n_star))
         if IMPL == "pm" and os.environ.get("BENCH_SKIP_LARGE", "0") != "1":
             details.append(bench_full_ba_large())
     if ONLY in ("all", "pose"):
@@ -777,10 +831,23 @@ def main():
     # driver-captured numbers the docs cite.
     name = ("BENCH_DETAILS.json" if jax.default_backend() == "tpu"
             else "BENCH_DETAILS.cpu.json")
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), name),
-        "w",
-    ) as f:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+    if ONLY != "all" and os.path.exists(path):
+        # Partial revalidation (BENCH_ONLY=full|pose): merge into the
+        # existing capture by metric-name prefix instead of clobbering the
+        # other section's artifacts.
+        with open(path) as f:
+            merged = json.load(f)
+        by_prefix = {m["metric"].split(" (")[0]: i
+                     for i, m in enumerate(merged)}
+        for m in details:
+            key = m["metric"].split(" (")[0]
+            if key in by_prefix:
+                merged[by_prefix[key]] = m
+            else:
+                merged.append(m)
+        details = merged
+    with open(path, "w") as f:
         json.dump(details, f, indent=1)
     print(json.dumps(flagship if flagship is not None else details[0]))
     return 0

@@ -38,13 +38,20 @@ all vanish while its residuals still weight the pose system.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PointMajorProblem", "PMShape", "build_point_major"]
+__all__ = [
+    "PointMajorProblem",
+    "PMShape",
+    "build_point_major",
+    "build_point_major_device",
+    "PMLayoutCache",
+]
 
 
 class PointMajorProblem(NamedTuple):
@@ -371,3 +378,367 @@ def build_point_major(
         opt_start=opt_start,
     )
     return pm, shape
+
+
+# ---------------------------------------------------------------------------
+# Device-side layout build: the plane permutation as XLA sort + scatter.
+#
+# The host builders above (native csrc ba_pm_fill / vectorized numpy) write
+# ~276 MB of planes on the host and then pay the full H2D transfer. On the
+# serving path the raw observation arrays are what the user HAS -- so ship
+# those (~26% fewer bytes: slot_pose/slot_opt/X are derived, not sent, and
+# (pose, camera) ride one packed i32 column) and build the planes where they
+# are consumed. The grouping is two static-shape XLA programs: a
+# lexicographic sort by (landmark, pose*C + camera) + segmented slot ranks
+# over just the index columns (the pixel/point value transfers overlap the
+# sort -- they are first consumed by stage B), then big one-shot scatters
+# into the padded planes, with exactly two tiny host fetches for the static
+# dimensions the solver needs at trace time (Kp, window P). This replaces
+# the reference's host-side FinalizeParameters/SetProblemSize pass
+# (core/full_bundle_adjustment_solver.cpp:631-663) with device work measured
+# in tens of milliseconds (TPU v5e, 12M observations: sort 0.2 s, scatters
+# ~0.3 s).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("C", "num_points"))
+def _device_build_stage_a(obs_point, obs_posecam, C, num_points):
+    """Sort observations by (landmark, pose*C + camera) and derive the
+    pair/slot structure. Only the two index columns ride the sort (the
+    value columns transfer concurrently and are gathered by `perm` in
+    stage B). Returns sorted index columns + per-obs slot ranks + the
+    scalars that must become static shapes (kp_max) or trigger fallback
+    (dup)."""
+    O = obs_point.shape[0]
+    pt_s, pc_s, perm = jax.lax.sort(
+        (obs_point, obs_posecam, jnp.arange(O, dtype=jnp.int32)),
+        num_keys=2,
+        is_stable=True,
+    )
+    po_s = pc_s // C
+    cam_s = pc_s - po_s * C
+    prev_pt = jnp.concatenate([jnp.full((1,), -1, pt_s.dtype), pt_s[:-1]])
+    prev_po = jnp.concatenate([jnp.full((1,), -1, po_s.dtype), po_s[:-1]])
+    prev_pc = jnp.concatenate([jnp.full((1,), -1, pc_s.dtype), pc_s[:-1]])
+    point_change = pt_s != prev_pt
+    pair_change = point_change | (po_s != prev_po)
+    dup = jnp.any(~point_change & (pc_s == prev_pc))
+    pair_id = jnp.cumsum(pair_change.astype(jnp.int32)) - 1
+    # First pair id of each landmark, propagated forward: pair_id is
+    # nondecreasing, so a running max of (pair_id where the landmark
+    # changes) is exactly the landmark's first pair id at every row.
+    first_pair = jax.lax.cummax(jnp.where(point_change, pair_id, -1))
+    slot = pair_id - first_pair
+    kp_max = jnp.max(slot) + 1
+    # Min observing pose per landmark (unobserved -> int32 max, which sorts
+    # to the end exactly like the host builders' sentinel N).
+    min_pose = jax.ops.segment_min(
+        po_s, pt_s, num_segments=num_points, indices_are_sorted=True
+    )
+    return pt_s, po_s, cam_s, perm, slot, min_pose, kp_max, dup
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Kp", "C", "Mp", "bm", "n_opt", "num_points"),
+)
+def _device_build_stage_b(
+    pt_s, po_s, cam_s, perm, slot, min_pose, obs_pixel,
+    points, point_is_opt, pose_opt_of,
+    Kp, C, Mp, bm, n_opt, num_points,
+):
+    """Scatter the sorted observations into the padded point-major planes
+    (static Kp from stage A's kp_max) and compute the per-block pose
+    windows. Returns the plane pytree fields + the scalar window span."""
+    M = num_points
+    imax = jnp.iinfo(jnp.int32).max
+    u_s = obs_pixel[perm, 0]
+    v_s = obs_pixel[perm, 1]
+
+    pt_order = jnp.argsort(min_pose, stable=True).astype(jnp.int32)
+    rank_of_point = (
+        jnp.zeros(M, jnp.int32).at[pt_order].set(jnp.arange(M, dtype=jnp.int32))
+    )
+    row_pt = rank_of_point[pt_s]
+
+    # Observation planes: ONE flat scalar scatter, 3*O rows. Measured on
+    # v5e at 12M observations: multi-element scatter rows cost ~85 ns/row
+    # (1.0 s for (O, 3) rows) while scalar rows cost ~9 ns/row (0.32 s for
+    # the same 36M elements), so the flat form is 3.2x faster -- and its
+    # index offsets land u/v/valid directly in the host builders'
+    # [u|v|valid] stack order, no transpose.
+    plane_row = cam_s * Kp + slot
+    lin = plane_row * Mp + row_pt
+    kcm = Kp * C * Mp
+    planes = (
+        jnp.zeros(3 * kcm, u_s.dtype)
+        .at[jnp.concatenate([lin, lin + kcm, lin + 2 * kcm])].set(
+            jnp.concatenate([u_s, v_s, jnp.ones_like(u_s)]),
+            mode="drop", unique_indices=True,
+        )
+        .reshape(3 * Kp * C, Mp)
+    )
+
+    # Slot planes: every observation of a (landmark, pose) pair writes the
+    # SAME value, so duplicate scatter indices are deterministic here.
+    lin_kp = slot * Mp + row_pt
+    slot_pose = (
+        jnp.zeros(Kp * Mp, jnp.int32).at[lin_kp].set(po_s, mode="drop")
+        .reshape(Kp, Mp)
+    )
+    so = pose_opt_of[po_s].astype(jnp.int32)
+    so = jnp.where(so == n_opt, -1, so)
+    slot_opt = (
+        jnp.full(Kp * Mp, -1, jnp.int32).at[lin_kp].set(so, mode="drop")
+        .reshape(Kp, Mp)
+    )
+
+    X = _scatter_x(rank_of_point, points, point_is_opt, Mp)
+    point_ref = (
+        jnp.full(Mp, -1, jnp.int32)
+        .at[rank_of_point].set(
+            jnp.arange(M, dtype=jnp.int32), mode="drop", unique_indices=True
+        )
+    )
+
+    # Per-block pose windows (same formulas as the host builders).
+    nblocks = Mp // bm
+    valid_b = (
+        planes[2 * Kp * C:].reshape(C, Kp, nblocks, bm).max(axis=0) > 0
+    )
+    sp_b = slot_pose.reshape(Kp, nblocks, bm)
+    gmin = jnp.where(valid_b, sp_b, imax).min(axis=(0, 2))
+    gmax = jnp.where(valid_b, sp_b, -1).max(axis=(0, 2))
+    so_b = slot_opt.reshape(Kp, nblocks, bm)
+    smin = jnp.where(so_b >= 0, so_b, imax).min(axis=(0, 2))
+    smax = so_b.max(axis=(0, 2))
+
+    empty = gmax < 0
+    gmin = jnp.where(empty, 0, gmin)
+    gmax = jnp.where(empty, 0, gmax)
+    gbase = (gmin // 8) * 8
+    gspan = jnp.max(gmax - gbase) + 1
+
+    sempty = smax < 0
+    smin = jnp.where(sempty, 0, smin)
+    smax = jnp.where(sempty, 0, smax)
+    sbase = (jnp.minimum(smin, imax - 8) // 8) * 8
+    sbase = jnp.where(sempty, 0, sbase)
+    sspan = jnp.max(smax - sbase) + 1
+
+    span = jnp.maximum(jnp.maximum(gspan, sspan), 8)
+    return (planes, slot_pose, slot_opt, X, point_ref, gbase, sbase, span,
+            lin, rank_of_point)
+
+
+def build_point_major_device(
+    obs_pose: np.ndarray,
+    obs_point: np.ndarray,
+    obs_cam: np.ndarray,
+    obs_pixel: np.ndarray,  # (O, 2) scale-conditioned, f32
+    points: np.ndarray,  # (M, 3) scale-conditioned, f32
+    pose_opt_of: np.ndarray,
+    point_is_opt: np.ndarray,
+    num_cameras: int,
+    scale: float,
+    num_opt_poses: int,
+    block_points: int = 256,
+    max_slots: int = 32,
+    max_window: int = 2048,
+    pad_blocks_to: int = 1,
+    return_cache: bool = False,
+) -> tuple[PointMajorProblem, PMShape] | None:
+    """`build_point_major`, but the grouping/scatter runs ON DEVICE.
+
+    Ships the raw per-observation columns (25% fewer bytes than the built
+    planes) and replaces the host fill with two XLA programs; the only
+    synchronization is one fetch of (kp_max, dup) -- Kp must be a static
+    shape -- and one of the window span. Plane values are bit-identical to
+    the host builders (pixels/points are copied, not recomputed; pass them
+    already scale-conditioned in f32). Returns None on the same fallback
+    conditions (slots/window bound exceeded, duplicate observation).
+
+    `return_cache=True` additionally returns a `PMLayoutCache`: the sorted
+    permutation and scatter indices, device-resident, so later solves over
+    the SAME observation topology (the SLAM re-solve pattern: new pixel
+    measurements / re-initialized values each frame) refill the value
+    planes with one scatter instead of re-sorting -- see
+    `PMLayoutCache.refill`."""
+    block_points = max(128, _round_up(int(block_points), 128))
+    O = int(obs_pose.shape[0])
+    M = int(points.shape[0])
+    N = int(pose_opt_of.shape[0])
+    if O == 0:
+        return None
+    n_opt = int(num_opt_poses)
+    C = int(num_cameras)
+
+    # Pack (pose, camera) into one i32 column on the host (one fused
+    # multiply-add pass): a whole 4-byte-per-observation column never
+    # crosses the link, and the sort needs only 2 keys.
+    posecam = np.asarray(obs_pose, np.int64) * C + np.asarray(obs_cam)
+    # Launch the VALUE transfers first: stage A consumes only the index
+    # columns, so the (bigger) pixel/point transfers overlap the sort and
+    # the kp_max fetch instead of serializing in front of them.
+    d_pixel = jax.device_put(np.ascontiguousarray(obs_pixel, np.float32))
+    d_points = jax.device_put(np.ascontiguousarray(points, np.float32))
+    (pt_s, po_s, cam_s, perm, slot, min_pose, kp_max_d, dup_d) = (
+        _device_build_stage_a(
+            jnp.asarray(obs_point, jnp.int32),
+            jnp.asarray(posecam, jnp.int32),
+            C=C,
+            num_points=M,
+        )
+    )
+    kp_max, dup = (
+        int(np.asarray(kp_max_d)), bool(np.asarray(dup_d))
+    )  # ONE sync: both scalars ride the same ready program
+    if dup or kp_max > max_slots:
+        return None
+    Kp = max(1, _round_up(kp_max, 4))
+    bm = int(block_points)
+    Mp = _round_up(max(M, bm), bm * max(1, int(pad_blocks_to)))
+
+    (planes, slot_pose, slot_opt, X, point_ref, gbase, sbase, span_d,
+     lin, rank_of_point) = (
+        _device_build_stage_b(
+            pt_s, po_s, cam_s, perm, slot, min_pose, d_pixel,
+            d_points,
+            jnp.asarray(point_is_opt),
+            jnp.asarray(pose_opt_of, jnp.int32),
+            Kp=Kp, C=C, Mp=Mp, bm=bm, n_opt=n_opt, num_points=M,
+        )
+    )
+    span = int(np.asarray(span_d))
+
+    from ..ops.pallas.full_ba_pm import _WINDOW_CHUNK
+
+    P = max(8, _round_up(span, 8))
+    if P > _WINDOW_CHUNK:
+        P = _round_up(P, _WINDOW_CHUNK)
+    if P > max_window:
+        return None
+
+    pm = PointMajorProblem(
+        obs_f32=planes,
+        slot_pose=slot_pose,
+        slot_opt=slot_opt,
+        X=X,
+        point_ref=point_ref,
+        gbase=gbase.astype(jnp.int32),
+        sbase=sbase.astype(jnp.int32),
+    )
+    opt_start = None
+    if n_opt > 0:
+        pose_opt_of = np.asarray(pose_opt_of)
+        opt_rows = np.nonzero(pose_opt_of < n_opt)[0]
+        if opt_rows.size == n_opt:
+            s0 = int(opt_rows[0])
+            if int(opt_rows[-1]) == s0 + n_opt - 1 and np.array_equal(
+                pose_opt_of[s0 : s0 + n_opt],
+                np.arange(n_opt, dtype=pose_opt_of.dtype),
+            ):
+                opt_start = s0
+    shape = PMShape(
+        num_poses=N,
+        num_opt_poses=n_opt,
+        num_points=M,
+        padded_points=Mp,
+        num_observations=O,
+        slots=Kp,
+        cams=C,
+        block_points=bm,
+        window=P,
+        scale=scale,
+        opt_start=opt_start,
+    )
+    if return_cache:
+        cache = PMLayoutCache(
+            perm=perm, lin=lin, rank_of_point=rank_of_point, shape=shape
+        )
+        return pm, shape, cache
+    return pm, shape
+
+
+def _scatter_x(rank_of_point, points, point_is_opt, Mp):
+    """(4, Mp) X plane via one flat scalar scatter (see the planes comment
+    in _device_build_stage_b for why flat rows beat (M, 4) rows)."""
+    mask = point_is_opt.astype(points.dtype)
+    vals = jnp.concatenate(
+        [points[:, 0], points[:, 1], points[:, 2], mask]
+    )
+    idx = jnp.concatenate(
+        [rank_of_point + r * Mp for r in range(4)]
+    )
+    return (
+        jnp.zeros(4 * Mp, points.dtype)
+        .at[idx].set(vals, mode="drop", unique_indices=True)
+        .reshape(4, Mp)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("Kp", "C", "Mp"))
+def _device_refill(perm, lin, rank_of_point, obs_pixel, points, point_is_opt,
+                   Kp, C, Mp):
+    u = obs_pixel[perm, 0]
+    v = obs_pixel[perm, 1]
+    kcm = Kp * C * Mp
+    planes = (
+        jnp.zeros(3 * kcm, u.dtype)
+        .at[jnp.concatenate([lin, lin + kcm, lin + 2 * kcm])].set(
+            jnp.concatenate([u, v, jnp.ones_like(u)]),
+            mode="drop", unique_indices=True,
+        )
+        .reshape(3 * Kp * C, Mp)
+    )
+    X = _scatter_x(rank_of_point, points, point_is_opt, Mp)
+    return planes, X
+
+
+@dataclasses.dataclass(frozen=True)
+class PMLayoutCache:
+    """Device-resident scatter indices of a built point-major layout.
+
+    The observation TOPOLOGY (which landmark is seen from which pose and
+    camera) fixes everything expensive about the layout: the sort order,
+    the slot assignment, the landmark ordering, the pose windows. Only the
+    VALUES (pixel measurements, initial landmark positions) change between
+    a SLAM system's repeated solves. `refill` re-scatters just those --
+    one H2D of the raw value columns + two device scatters -- reusing the
+    cached permutation, so the per-solve layout cost drops from a full
+    sort+build to one value pass. Contrast: the reference re-runs its
+    whole FinalizeParameters host pass per Solve()
+    (core/full_bundle_adjustment_solver.cpp:631-663)."""
+
+    perm: jax.Array  # (O,) sorted-order permutation of the input columns
+    lin: jax.Array  # (O,) linear scatter index into the (Kp*C, Mp) grid
+    rank_of_point: jax.Array  # (M,) padded landmark row of each landmark
+    shape: PMShape
+
+    def refill(
+        self,
+        pm: PointMajorProblem,
+        obs_pixel: np.ndarray,  # (O, 2) scale-conditioned, f32
+        points: np.ndarray | None = None,  # (M, 3) scale-conditioned, f32
+        point_is_opt: np.ndarray | None = None,
+    ) -> PointMajorProblem:
+        """New PointMajorProblem with updated pixel (and optionally
+        landmark-value) planes; slot planes and windows are shared with
+        `pm` (same topology)."""
+        sh = self.shape
+        if points is None:
+            # Re-scatter the existing (already rank-ordered) values.
+            pts = pm.X[:3].T[self.rank_of_point]
+            mask = pm.X[3][self.rank_of_point] > 0
+        else:
+            pts = jnp.asarray(points, jnp.float32)
+            if point_is_opt is None:
+                mask = pm.X[3][self.rank_of_point] > 0
+            else:
+                mask = jnp.asarray(point_is_opt)
+        planes, X = _device_refill(
+            self.perm, self.lin, self.rank_of_point,
+            jnp.asarray(obs_pixel, jnp.float32), pts, mask,
+            Kp=sh.slots, C=sh.cams, Mp=sh.padded_points,
+        )
+        return pm._replace(obs_f32=planes, X=X)

@@ -151,6 +151,8 @@ def pm_problem_from_arrays(
     max_slots: int = 32,
     max_window: int = 2048,
     pad_blocks_to: int = 1,
+    layout: str = "auto",
+    return_cache: bool = False,
 ):
     """Direct arrays -> point-major problem, skipping the sorted
     observation table entirely.
@@ -164,15 +166,28 @@ def pm_problem_from_arrays(
     ba_pm_fill are input-order-independent). This is the fast arrays-to-
     solution path for PM-engine solves.
 
-    Returns (problem, shape, pm, pshape) or None when the problem exceeds
-    the layout's static bounds. `problem` is a FinalizedProblem whose
+    `layout` picks where the plane build runs: "host" = the native/numpy
+    fill (`build_point_major`); "device" = ship the raw observation
+    columns and build the planes with XLA sort+scatter on the accelerator
+    (`build_point_major_device`, bit-identical planes, ~25% fewer H2D
+    bytes, no single-core host fill); "auto" = device whenever the default
+    backend is an accelerator.
+
+    `return_cache=True` (device layout only) appends a
+    `models.layout.PMLayoutCache` to the return tuple: repeated solves
+    over the same observation topology then refill the value planes with
+    one scatter (`cache.refill(pm, obs_pixel * scale, points * scale)`)
+    instead of re-sorting -- the SLAM serving pattern.
+
+    Returns (problem, shape, pm, pshape[, cache]) or None when the problem
+    exceeds the layout's static bounds. `problem` is a FinalizedProblem whose
     observation-table columns and points are EMPTY (0-length) -- the PM
     engines read only rig / R_cw / t_cw / opt indices from it; route
     through `finalized_from_arrays` when the observation-table engine may
     be needed.
     """
     from ..models.camera import CameraRig
-    from ..models.layout import build_point_major
+    from ..models.layout import build_point_major, build_point_major_device
     from ..models.problem import FinalizedProblem, ProblemShape
 
     N = poses_world_to_camera.shape[0]
@@ -194,25 +209,60 @@ def pm_problem_from_arrays(
     R_cw = np.transpose(R_wc, (0, 2, 1))
     t_cw = -np.einsum("nij,nj->ni", R_cw, t_wc) * scale
 
-    res = build_point_major(
-        np.asarray(obs_pose, np.int32),
-        np.asarray(obs_point, np.int32),
-        np.asarray(obs_cam, np.int32),
-        np.asarray(obs_pixel, np.float64) * scale,
-        np.asarray(points, np.float64) * scale,
-        pose_opt_of,
-        ~np.asarray(fixed_point_mask, bool),
-        len(list(cameras)),
-        scale,
-        num_opt_poses=n_opt,
-        block_points=block_points,
-        max_slots=max_slots,
-        max_window=max_window,
-        pad_blocks_to=pad_blocks_to,
+    if layout not in ("auto", "host", "device"):
+        raise ValueError(f"layout must be auto|host|device, got {layout!r}")
+    use_device = layout == "device" or (
+        layout == "auto" and jax.default_backend() != "cpu"
     )
+    if return_cache and not use_device:
+        raise ValueError(
+            "return_cache requires the device layout build "
+            "(layout='device', or 'auto' on an accelerator backend)"
+        )
+    if use_device:
+        # Scale-condition on host in f64 -> f32 (one vectorized pass; keeps
+        # the planes bit-identical to the host builders), group/scatter on
+        # device.
+        res = build_point_major_device(
+            np.asarray(obs_pose, np.int32),
+            np.asarray(obs_point, np.int32),
+            np.asarray(obs_cam, np.int32),
+            (np.asarray(obs_pixel, np.float64) * scale).astype(np.float32),
+            (np.asarray(points, np.float64) * scale).astype(np.float32),
+            pose_opt_of,
+            ~np.asarray(fixed_point_mask, bool),
+            len(list(cameras)),
+            scale,
+            num_opt_poses=n_opt,
+            block_points=block_points,
+            max_slots=max_slots,
+            max_window=max_window,
+            pad_blocks_to=pad_blocks_to,
+            return_cache=return_cache,
+        )
+    else:
+        res = build_point_major(
+            np.asarray(obs_pose, np.int32),
+            np.asarray(obs_point, np.int32),
+            np.asarray(obs_cam, np.int32),
+            np.asarray(obs_pixel, np.float64) * scale,
+            np.asarray(points, np.float64) * scale,
+            pose_opt_of,
+            ~np.asarray(fixed_point_mask, bool),
+            len(list(cameras)),
+            scale,
+            num_opt_poses=n_opt,
+            block_points=block_points,
+            max_slots=max_slots,
+            max_window=max_window,
+            pad_blocks_to=pad_blocks_to,
+        )
     if res is None:
         return None
-    pm, pshape = res
+    if return_cache:
+        pm, pshape, cache = res
+    else:
+        pm, pshape = res
 
     rig = CameraRig.from_cameras(list(cameras), scale=scale)
     empty_i = jnp.zeros((0,), jnp.int32)
@@ -246,6 +296,8 @@ def pm_problem_from_arrays(
         num_cameras=len(list(cameras)),
         scale=scale,
     )
+    if return_cache:
+        return problem, shape, pm, pshape, cache
     return problem, shape, pm, pshape
 
 

@@ -1004,3 +1004,95 @@ def test_pm_problem_from_arrays_matches_finalized():
         np.asarray(b.poses_world_to_camera),
     )
     np.testing.assert_array_equal(np.asarray(a.points), np.asarray(b.points))
+
+
+def test_pm_problem_from_arrays_device_layout():
+    """layout='device' (XLA sort+scatter build, the serving path that skips
+    both the host fill and the derived-plane H2D) must produce bit-identical
+    planes and solves vs the host build."""
+    from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
+        pm_problem_from_arrays,
+    )
+
+    prob = corridor_ba_problem(num_poses=24, num_points=700, window=5, seed=9)
+    fixed = np.zeros(24, bool)
+    fixed[prob.fixed_pose_ids] = True
+    outs = {}
+    for mode in ("host", "device"):
+        outs[mode] = pm_problem_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, layout=mode,
+        )
+        assert outs[mode] is not None
+    (_, _, pm_h, ps_h), (p_d, s_d, pm_d, ps_d) = outs["host"], outs["device"]
+    assert ps_h == ps_d
+    for name in pm_h._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pm_h, name)), np.asarray(getattr(pm_d, name)),
+            err_msg=f"plane {name} differs (device vs host layout)",
+        )
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(15),
+        reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-9,
+    )
+    a, _ = solve_pm(p_d, s_d, opts, pm_and_shape=(pm_d, ps_d))
+    rmse = float(np.asarray(a.final_rmse_px))
+    assert rmse < 0.01
+
+
+def test_pm_problem_from_arrays_layout_cache():
+    """return_cache=True + PMLayoutCache.refill: a re-solve after refilling
+    with perturbed pixel values must equal a from-scratch build+solve."""
+    from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
+        pm_problem_from_arrays,
+    )
+
+    prob = corridor_ba_problem(num_poses=24, num_points=700, window=5, seed=9)
+    fixed = np.zeros(24, bool)
+    fixed[prob.fixed_pose_ids] = True
+    scale = 0.01
+    p, s, pm, ps, cache = pm_problem_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed, layout="device", return_cache=True,
+        scale=scale,
+    )
+    rng = np.random.default_rng(4)
+    pix2 = prob.obs_pixel + rng.normal(scale=0.05, size=prob.obs_pixel.shape)
+    pm2 = cache.refill(
+        pm, (pix2 * scale).astype(np.float32)
+    )
+    _, _, pm2_ref, ps2_ref = pm_problem_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, pix2,
+        fixed_pose_mask=fixed, layout="device", scale=scale,
+    )
+    assert ps2_ref == ps
+    for name in pm2._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pm2_ref, name)), np.asarray(getattr(pm2, name)),
+            err_msg=f"plane {name}: refill differs from fresh build",
+        )
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(10),
+        reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-9,
+    )
+    a, _ = solve_pm(p, s, opts, pm_and_shape=(pm2, ps))
+    b, _ = solve_pm(p, s, opts, pm_and_shape=(pm2_ref, ps2_ref))
+    np.testing.assert_array_equal(
+        np.asarray(a.poses_world_to_camera),
+        np.asarray(b.poses_world_to_camera),
+    )
+
+    import pytest
+    with pytest.raises(ValueError, match="return_cache"):
+        pm_problem_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, layout="host", return_cache=True,
+        )

@@ -268,3 +268,105 @@ def test_pm_fill_error_codes(lib, rng):
                          pix, pts, poo, np.ones(1, np.uint8), rop,
                          n_opt=4, num_cams=1, kp=4, mp=128)
     assert out is None
+
+
+class TestDeviceLayoutBuild:
+    """build_point_major_device (XLA sort+scatter on the accelerator) must
+    agree BIT-EXACTLY with the host builders -- planes, windows, shape --
+    and take the same fallbacks (duplicate observation, slots bound)."""
+
+    def _build_device(self, args, **kw):
+        from bundle_adjustment_solver_tpu.models import layout
+
+        (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+         point_is_opt) = args
+        scale = kw.pop("scale")
+        return layout.build_point_major_device(
+            obs_pose, obs_point, obs_cam,
+            (np.asarray(obs_pixel, np.float64) * scale).astype(np.float32),
+            (np.asarray(points, np.float64) * scale).astype(np.float32),
+            pose_opt_of, point_is_opt, scale=scale, **kw,
+        )
+
+    def test_device_matches_host_bitexact(self, rng):
+        from bundle_adjustment_solver_tpu.models import layout
+
+        for seed_extra in range(3):
+            (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+             point_is_opt, n_opt, C) = _random_layout_inputs(rng)
+            args = (obs_pose, obs_point, obs_cam, obs_pixel, points,
+                    pose_opt_of, point_is_opt)
+            kw = dict(num_cameras=C, scale=1.0, num_opt_poses=n_opt,
+                      block_points=128, max_slots=32, max_window=2048)
+            a = layout.build_point_major(*args, **kw)
+            b = self._build_device(args, **kw)
+            assert (a is None) == (b is None)
+            if a is None:
+                continue
+            pa, sa = a
+            pb, sb = b
+            assert sa == sb
+            for name in pa._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(pa, name)),
+                    np.asarray(getattr(pb, name)),
+                    err_msg=f"plane {name} differs (device vs host)",
+                )
+
+    def test_device_duplicate_fallback(self, rng):
+        (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+         point_is_opt, n_opt, C) = _random_layout_inputs(rng)
+        obs_pose = np.concatenate([obs_pose, obs_pose[:1]])
+        obs_point = np.concatenate([obs_point, obs_point[:1]])
+        obs_cam = np.concatenate([obs_cam, obs_cam[:1]])
+        obs_pixel = np.concatenate([obs_pixel, obs_pixel[:1]])
+        out = self._build_device(
+            (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+             point_is_opt),
+            num_cameras=C, scale=1.0, num_opt_poses=n_opt,
+        )
+        assert out is None
+
+    def test_device_slots_bound_fallback(self, rng):
+        (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+         point_is_opt, n_opt, C) = _random_layout_inputs(rng)
+        out = self._build_device(
+            (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+             point_is_opt),
+            num_cameras=C, scale=1.0, num_opt_poses=n_opt, max_slots=1,
+        )
+        assert out is None
+
+    def test_layout_cache_refill(self, rng):
+        """PMLayoutCache.refill with new pixel/point values must equal a
+        fresh device build on those values; pixel-only refill keeps X."""
+        from bundle_adjustment_solver_tpu.models import layout
+
+        (obs_pose, obs_point, obs_cam, obs_pixel, points, pose_opt_of,
+         point_is_opt, n_opt, C) = _random_layout_inputs(rng)
+        pix = np.asarray(obs_pixel, np.float32)
+        pts = np.asarray(points, np.float32)
+        pm, sh, cache = layout.build_point_major_device(
+            obs_pose, obs_point, obs_cam, pix, pts, pose_opt_of,
+            point_is_opt, num_cameras=C, scale=1.0, num_opt_poses=n_opt,
+            return_cache=True,
+        )
+        pix2, pts2 = pix + 0.25, pts - 0.5
+        fresh = layout.build_point_major_device(
+            obs_pose, obs_point, obs_cam, pix2, pts2, pose_opt_of,
+            point_is_opt, num_cameras=C, scale=1.0, num_opt_poses=n_opt,
+        )
+        assert fresh is not None
+        pm_fresh, sh_fresh = fresh
+        assert sh_fresh == sh
+        pm_re = cache.refill(pm, pix2, pts2)
+        for name in pm_re._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pm_fresh, name)),
+                np.asarray(getattr(pm_re, name)),
+                err_msg=f"refill plane {name} differs from fresh build",
+            )
+        pm_px = cache.refill(pm, pix2)
+        np.testing.assert_array_equal(
+            np.asarray(pm_px.X), np.asarray(pm.X)
+        )

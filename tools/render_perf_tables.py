@@ -107,6 +107,20 @@ def rows(details):
             "≈ 170 s extrapolated (solve + finalize)",
         ))
 
+    d = get("full_BA_seconds_resolve_warm_topology")
+    if d:
+        m = d["metric"]
+        idx = _detail_index(details, "full_BA_seconds_resolve_warm_topology")
+        r.append((
+            f"flagship WARM-TOPOLOGY RE-SOLVE: new measurement values, same "
+            f"observation graph (BENCH_DETAILS #{idx}; the reference re-runs "
+            f"its full finalize per Solve)",
+            f"**{d['value']} s** from updated value arrays to RMSE ≤ 0.01 px "
+            f"(achieved {_grab(m, r'achieved_rmse_px=([\d.]+)')} px, "
+            f"PMLayoutCache refill: raw-value H2D + device re-scatter)",
+            "≈ 170 s (no incremental path exists)",
+        ))
+
     d = get("full_BA_large")
     if d:
         idx = _detail_index(details, "full_BA_large")
