@@ -142,10 +142,12 @@ def main() -> int:
         cg_max_iterations=25,
         cg_forcing="ew",
     )
-    problem_pm, shape_pm, pm, pshape = full_ba_pm.pm_problem_from_arrays(
-        big.cameras, big.poses_initial, big.points_initial,
-        big.obs_camera, big.obs_pose, big.obs_point, big.obs_pixel,
-        fixed_pose_mask=fixed,
+    problem_pm, shape_pm, pm, pshape, cache = (
+        full_ba_pm.pm_problem_from_arrays(
+            big.cameras, big.poses_initial, big.points_initial,
+            big.obs_camera, big.obs_pose, big.obs_point, big.obs_pixel,
+            fixed_pose_mask=fixed, layout="device", return_cache=True,
+        )
     )
     state, pm_summary = full_ba_pm.solve_pm(
         problem_pm, shape_pm, pm_opts, pm_and_shape=(pm, pshape)
@@ -154,6 +156,24 @@ def main() -> int:
         f"point-major engine: {shape_pm.num_observations} obs, "
         f"rmse {float(state.final_rmse_px):.5f} px in "
         f"{int(state.num_iterations)} LM iterations"
+    )
+
+    # Warm-topology re-solve (every SLAM frame): same observation graph,
+    # new measurements -- PMLayoutCache.refill re-scatters just the value
+    # planes (no host fill, no re-sort; see PERF.md round 4).
+    rng2 = np.random.default_rng(11)
+    pix_next = big.obs_pixel + rng2.normal(
+        scale=0.2, size=big.obs_pixel.shape
+    )
+    pm_next = cache.refill(
+        pm, (pix_next * shape_pm.scale).astype(np.float32)
+    )
+    state2, _ = full_ba_pm.solve_pm(
+        problem_pm, shape_pm, pm_opts, pm_and_shape=(pm_next, pshape)
+    )
+    print(
+        f"warm-topology re-solve (refilled planes): rmse "
+        f"{float(state2.final_rmse_px):.5f} px"
     )
 
     # Multi-device mesh (pose-sharded distributed engine): runs on however
