@@ -378,7 +378,7 @@ def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
         "metric": (
             f"full_BA_seconds_resolve_warm_topology_to_rmse_{TARGET_RMSE}px "
             f"({NUM_POSES} poses, {NUM_POINTS} landmarks, PMLayoutCache "
-            "refill: H2D of raw pixel/point values + device re-scatter + "
+            "refill: H2D of raw pixel/point values + device re-gather + "
             f"{n_star} LM iterations, achieved_rmse_px={rmse_w:.4f}; the "
             "reference re-runs its full finalize pass per Solve)"
         ),

@@ -653,9 +653,23 @@ def build_point_major_device(
         opt_start=opt_start,
     )
     if return_cache:
-        cache = PMLayoutCache(
-            perm=perm, lin=lin, rank_of_point=rank_of_point, shape=shape
+        # Invert the scatter once (one O-row scalar scatter, ~0.11 s at 12M
+        # obs) so every LATER refill is pure gathers: TPU gathers cost
+        # ~1.6 ns/row vs ~9 ns/row for scatters (see the planes comment in
+        # _device_build_stage_b), so the per-refill device work drops ~5x.
+        # gsrc[cell] = raw-input observation row whose (u, v) fills that
+        # plane cell; padding cells alias row 0 and are masked by the
+        # topology-constant valid plane at gather time.
+        kcm = Kp * C * Mp
+        src = (
+            jnp.full(kcm, -1, jnp.int32)
+            .at[lin].set(
+                jnp.arange(O, dtype=jnp.int32), mode="drop",
+                unique_indices=True,
+            )
         )
+        gsrc = jnp.take(perm, jnp.maximum(src, 0))
+        cache = PMLayoutCache(gsrc=gsrc, shape=shape)
         return pm, shape, cache
     return pm, shape
 
@@ -677,42 +691,49 @@ def _scatter_x(rank_of_point, points, point_is_opt, Mp):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("Kp", "C", "Mp"))
-def _device_refill(perm, lin, rank_of_point, obs_pixel, points, point_is_opt,
-                   Kp, C, Mp):
-    u = obs_pixel[perm, 0]
-    v = obs_pixel[perm, 1]
-    kcm = Kp * C * Mp
-    planes = (
-        jnp.zeros(3 * kcm, u.dtype)
-        .at[jnp.concatenate([lin, lin + kcm, lin + 2 * kcm])].set(
-            jnp.concatenate([u, v, jnp.ones_like(u)]),
-            mode="drop", unique_indices=True,
-        )
-        .reshape(3 * Kp * C, Mp)
-    )
-    X = _scatter_x(rank_of_point, points, point_is_opt, Mp)
-    return planes, X
+@jax.jit
+def _device_refill(gsrc, valid_rows, obs_pixel):
+    """(u|v|valid) planes by pure gather: each plane cell reads its raw
+    observation row through the cached inverse index. `jnp.where` (not a
+    multiply) keeps padding cells bit-identical to the scatter builders'
+    zeros. The valid rows are topology-constant and passed through."""
+    flat = obs_pixel.reshape(-1)  # (O*2,) [u0 v0 u1 v1 ...]
+    ok = valid_rows > 0
+    zero = jnp.zeros((), flat.dtype)
+    u = jnp.where(ok, jnp.take(flat, 2 * gsrc).reshape(ok.shape), zero)
+    v = jnp.where(ok, jnp.take(flat, 2 * gsrc + 1).reshape(ok.shape), zero)
+    return jnp.concatenate([u, v, valid_rows], axis=0)
+
+
+@jax.jit
+def _device_refill_x(point_ref, points, mask_of_point):
+    """(4, Mp) X plane by gather through the padded-row -> landmark map."""
+    ok = point_ref >= 0
+    pr = jnp.maximum(point_ref, 0)
+    pts = jnp.where(ok[None, :], points[pr].T, 0.0)
+    m = jnp.where(ok, mask_of_point.astype(points.dtype)[pr], 0.0)
+    return jnp.concatenate([pts, m[None, :]], axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
 class PMLayoutCache:
-    """Device-resident scatter indices of a built point-major layout.
+    """Device-resident inverse layout index of a built point-major layout.
 
     The observation TOPOLOGY (which landmark is seen from which pose and
     camera) fixes everything expensive about the layout: the sort order,
     the slot assignment, the landmark ordering, the pose windows. Only the
     VALUES (pixel measurements, initial landmark positions) change between
-    a SLAM system's repeated solves. `refill` re-scatters just those --
-    one H2D of the raw value columns + two device scatters -- reusing the
-    cached permutation, so the per-solve layout cost drops from a full
-    sort+build to one value pass. Contrast: the reference re-runs its
-    whole FinalizeParameters host pass per Solve()
+    a SLAM system's repeated solves. `refill` rebuilds just those -- one
+    H2D of the raw value columns + pure device GATHERS through the cached
+    cell -> raw-observation-row index (`gsrc`), so the per-solve layout
+    cost drops from a full sort+build to one gather pass (~5x cheaper
+    than the scatter it replaced: ~1.6 ns vs ~9 ns per row on v5e). The
+    valid rows and the padded-row -> landmark map ride along in the built
+    `PointMajorProblem` (both topology-constant). Contrast: the reference
+    re-runs its whole FinalizeParameters host pass per Solve()
     (core/full_bundle_adjustment_solver.cpp:631-663)."""
 
-    perm: jax.Array  # (O,) sorted-order permutation of the input columns
-    lin: jax.Array  # (O,) linear scatter index into the (Kp*C, Mp) grid
-    rank_of_point: jax.Array  # (M,) padded landmark row of each landmark
+    gsrc: jax.Array  # (Kp*C*Mp,) raw observation row feeding each plane cell
     shape: PMShape
 
     def refill(
@@ -726,19 +747,38 @@ class PMLayoutCache:
         landmark-value) planes; slot planes and windows are shared with
         `pm` (same topology)."""
         sh = self.shape
-        if points is None:
-            # Re-scatter the existing (already rank-ordered) values.
-            pts = pm.X[:3].T[self.rank_of_point]
-            mask = pm.X[3][self.rank_of_point] > 0
+        kc = sh.slots * sh.cams
+        valid_rows = pm.obs_f32[2 * kc :]
+        planes = _device_refill(
+            self.gsrc, valid_rows, jnp.asarray(obs_pixel, jnp.float32)
+        )
+        if points is None and point_is_opt is None:
+            X = pm.X  # same landmark values: the plane is unchanged
+        elif points is None:
+            # Only the opt-mask row changes; coordinates stay plane-order.
+            ok = pm.point_ref >= 0
+            prc = jnp.maximum(pm.point_ref, 0)
+            m = jnp.where(
+                ok, jnp.asarray(point_is_opt).astype(pm.X.dtype)[prc], 0.0
+            )
+            X = jnp.concatenate([pm.X[:3], m[None, :]], axis=0)
         else:
             pts = jnp.asarray(points, jnp.float32)
             if point_is_opt is None:
-                mask = pm.X[3][self.rank_of_point] > 0
+                # Keep the existing opt mask row (already in plane order,
+                # zero-padded) and regather only the coordinates.
+                X = jnp.concatenate(
+                    [
+                        _device_refill_x(
+                            pm.point_ref, pts,
+                            jnp.ones(pts.shape[0], jnp.float32),
+                        )[:3],
+                        pm.X[3:],
+                    ],
+                    axis=0,
+                )
             else:
-                mask = jnp.asarray(point_is_opt)
-        planes, X = _device_refill(
-            self.perm, self.lin, self.rank_of_point,
-            jnp.asarray(obs_pixel, jnp.float32), pts, mask,
-            Kp=sh.slots, C=sh.cams, Mp=sh.padded_points,
-        )
+                X = _device_refill_x(
+                    pm.point_ref, pts, jnp.asarray(point_is_opt)
+                )
         return pm._replace(obs_f32=planes, X=X)

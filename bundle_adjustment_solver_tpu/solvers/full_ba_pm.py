@@ -176,7 +176,7 @@ def pm_problem_from_arrays(
     `return_cache=True` (device layout only) appends a
     `models.layout.PMLayoutCache` to the return tuple: repeated solves
     over the same observation topology then refill the value planes with
-    one scatter (`cache.refill(pm, obs_pixel * scale, points * scale)`)
+    pure gathers (`cache.refill(pm, obs_pixel * scale, points * scale)`)
     instead of re-sorting -- the SLAM serving pattern.
 
     Returns (problem, shape, pm, pshape[, cache]) or None when the problem

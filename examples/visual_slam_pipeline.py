@@ -159,7 +159,7 @@ def main() -> int:
     )
 
     # Warm-topology re-solve (every SLAM frame): same observation graph,
-    # new measurements -- PMLayoutCache.refill re-scatters just the value
+    # new measurements -- PMLayoutCache.refill re-gathers just the value
     # planes (no host fill, no re-sort; see PERF.md round 4).
     rng2 = np.random.default_rng(11)
     pix_next = big.obs_pixel + rng2.normal(

@@ -1089,6 +1089,36 @@ def test_pm_problem_from_arrays_layout_cache():
         np.asarray(b.poses_world_to_camera),
     )
 
+    # points-provided refill (the bench/SLAM per-frame path) must also
+    # equal a fresh build with the new landmark values.
+    pts3 = prob.points_initial + rng.normal(
+        scale=0.01, size=prob.points_initial.shape
+    )
+    pm3 = cache.refill(
+        pm, (pix2 * scale).astype(np.float32), (pts3 * scale).astype(np.float32)
+    )
+    _, _, pm3_ref, _ = pm_problem_from_arrays(
+        prob.cameras, prob.poses_initial, pts3,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, pix2,
+        fixed_pose_mask=fixed, layout="device", scale=scale,
+    )
+    for name in pm3._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pm3_ref, name)), np.asarray(getattr(pm3, name)),
+            err_msg=f"plane {name}: points refill differs from fresh build",
+        )
+
+    # mask-only refill: coordinates keep plane order, mask row regathers.
+    mask2 = np.ones(prob.points_initial.shape[0], bool)
+    mask2[::7] = False
+    pm4 = cache.refill(
+        pm, (pix2 * scale).astype(np.float32), point_is_opt=mask2
+    )
+    np.testing.assert_array_equal(np.asarray(pm4.X[:3]), np.asarray(pm2.X[:3]))
+    pr = np.asarray(pm.point_ref)
+    expect_m = np.where(pr >= 0, mask2[np.maximum(pr, 0)], False)
+    np.testing.assert_array_equal(np.asarray(pm4.X[3]) > 0, expect_m)
+
     import pytest
     with pytest.raises(ValueError, match="return_cache"):
         pm_problem_from_arrays(
