@@ -47,6 +47,11 @@ from bundle_adjustment_solver_tpu.utils.synthetic import (
 B = int(os.environ.get("BENCH_FRAMES", 2048))
 P = int(os.environ.get("BENCH_FRAME_POINTS", 256))
 MAX_ITER = int(os.environ.get("STRAGGLER_MAX_ITER", 100))
+# The "never lose" gate (VERDICT r4 weak #3): the auto policy's wall must
+# stay within this factor of the lockstep wall (best-of-3 both sides). In
+# the one-segment regime the driver DELEGATES to the lockstep solver, so
+# anything beyond measurement noise is a policy bug.
+NEVER_LOSE_BOUND = 1.05
 
 
 def _fetch(x):
@@ -83,12 +88,18 @@ def main():
         _fetch(res.pose[0, 0, 0])
         return res
 
-    # Real-threshold solve (reference defaults 1e-5).
+    # Real-threshold solve (reference defaults 1e-5). Best-of-3 walls on
+    # both sides of the never-lose comparison: a single run through the
+    # tunnel carries a documented ~±50% swing (PERF.md), which would make
+    # the 1.05x bound below indistinguishable from weather.
     o_real = opts(1e-5, MAX_ITER)
     res = run(o_real)  # compile + warm
-    t0 = time.perf_counter()
-    res = run(o_real)
-    wall_real = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run(o_real)
+        walls.append(time.perf_counter() - t0)
+    wall_real = min(walls)
     T_f = np.asarray(res.num_iterations).astype(int)
     conv = np.asarray(res.converged)
     T_last = int(T_f.max())
@@ -190,24 +201,33 @@ def main():
         return res
 
     run_auto()  # compile + warm + one-time calibration (cached)
-    t0 = time.perf_counter()
-    res_a = run_auto()
-    wall_auto = time.perf_counter() - t0
+    walls_a = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res_a = run_auto()
+        walls_a.append(time.perf_counter() - t0)
+    wall_auto = min(walls_a)
     dispatch_ms = pose_only._dispatch_ms()
     out["auto_policy"] = {
         "wall_s": round(wall_auto, 4),
         "vs_lockstep": round(wall_auto / wall_real, 3),
         "measured_dispatch_ms": round(dispatch_ms, 2),
         "converged_frames": int(np.asarray(res_a.converged).sum()),
-        "never_lose_check": bool(wall_auto <= wall_real * 1.2),
+        "never_lose_bound": NEVER_LOSE_BOUND,
+        "never_lose_check": bool(
+            wall_auto <= wall_real * NEVER_LOSE_BOUND
+        ),
         "note": (
-            "calibration (two short solves) is cached per process and "
-            "excluded by the warm-up, as in serving"
+            "best-of-3 walls both sides; bound = auto wall <= "
+            f"{NEVER_LOSE_BOUND}x lockstep wall. calibration (two short "
+            "solves) is cached per process and excluded by the warm-up, "
+            "as in serving"
         ),
     }
     assert out["auto_policy"]["never_lose_check"], (
-        f"auto compaction lost to lockstep: {wall_auto:.3f}s vs "
-        f"{wall_real:.3f}s"
+        f"auto compaction lost to lockstep beyond the {NEVER_LOSE_BOUND}x "
+        f"bound: {wall_auto:.3f}s vs {wall_real:.3f}s "
+        f"({wall_auto / wall_real:.3f}x)"
     )
     print(json.dumps(out, indent=1))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -558,11 +558,12 @@ def build_point_major_device(
     already scale-conditioned in f32). Returns None on the same fallback
     conditions (slots/window bound exceeded, duplicate observation).
 
-    `return_cache=True` additionally returns a `PMLayoutCache`: the sorted
-    permutation and scatter indices, device-resident, so later solves over
-    the SAME observation topology (the SLAM re-solve pattern: new pixel
-    measurements / re-initialized values each frame) refill the value
-    planes with one scatter instead of re-sorting -- see
+    `return_cache=True` additionally returns a `PMLayoutCache` holding the
+    inverse cell -> raw-observation-row gather index (`gsrc`),
+    device-resident, so later solves over the SAME observation topology
+    (the SLAM re-solve pattern: new pixel measurements / re-initialized
+    values each frame) refill the value planes by pure gathers -- no
+    re-sort, no scatter (~5x cheaper per row on TPU) -- see
     `PMLayoutCache.refill`."""
     block_points = max(128, _round_up(int(block_points), 128))
     O = int(obs_pose.shape[0])
@@ -668,7 +669,11 @@ def build_point_major_device(
                 unique_indices=True,
             )
         )
-        gsrc = jnp.take(perm, jnp.maximum(src, 0))
+        # (Kp*C, Mp): same cell order as one (u|v|valid) plane band, so the
+        # cache shards along the landmark lane axis exactly like the planes
+        # (parallel/sharded_pm.pm_in_specs) and a sharded refill's gathers
+        # stay device-local.
+        gsrc = jnp.take(perm, jnp.maximum(src, 0)).reshape(Kp * C, Mp)
         cache = PMLayoutCache(gsrc=gsrc, shape=shape)
         return pm, shape, cache
     return pm, shape
@@ -715,6 +720,17 @@ def _device_refill_x(point_ref, points, mask_of_point):
     return jnp.concatenate([pts, m[None, :]], axis=0)
 
 
+@jax.jit
+def _device_refill_x_coords(point_ref, points, X_prev):
+    """(4, Mp) X plane: regathered coordinates + the EXISTING opt-mask row
+    (already plane-order, zero-padded) carried from `X_prev`. The SLAM
+    per-frame hot path: one jitted dispatch, no throwaway mask gather."""
+    ok = point_ref >= 0
+    pr = jnp.maximum(point_ref, 0)
+    pts = jnp.where(ok[None, :], points[pr].T, 0.0)
+    return jnp.concatenate([pts, X_prev[3:]], axis=0)
+
+
 @dataclasses.dataclass(frozen=True)
 class PMLayoutCache:
     """Device-resident inverse layout index of a built point-major layout.
@@ -733,7 +749,7 @@ class PMLayoutCache:
     re-runs its whole FinalizeParameters host pass per Solve()
     (core/full_bundle_adjustment_solver.cpp:631-663)."""
 
-    gsrc: jax.Array  # (Kp*C*Mp,) raw observation row feeding each plane cell
+    gsrc: jax.Array  # (Kp*C, Mp) raw observation row feeding each plane cell
     shape: PMShape
 
     def refill(
@@ -766,17 +782,9 @@ class PMLayoutCache:
             pts = jnp.asarray(points, jnp.float32)
             if point_is_opt is None:
                 # Keep the existing opt mask row (already in plane order,
-                # zero-padded) and regather only the coordinates.
-                X = jnp.concatenate(
-                    [
-                        _device_refill_x(
-                            pm.point_ref, pts,
-                            jnp.ones(pts.shape[0], jnp.float32),
-                        )[:3],
-                        pm.X[3:],
-                    ],
-                    axis=0,
-                )
+                # zero-padded) and regather only the coordinates -- one
+                # jitted dispatch on the per-frame hot path.
+                X = _device_refill_x_coords(pm.point_ref, pts, pm.X)
             else:
                 X = _device_refill_x(
                     pm.point_ref, pts, jnp.asarray(point_is_opt)

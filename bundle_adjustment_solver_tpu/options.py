@@ -86,24 +86,29 @@ class Options:
     reduced_system: str = "auto"  # 'dense' | 'cg' | 'pm' | 'auto'
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-8
-    # Preconditioner of the reduced-system CG. 'jacobi' (default) is the
-    # block-diagonal of the damped A; 'schur_jacobi' uses the diagonal
-    # blocks of the exact Schur complement S = A - B Cinv B^T (fused into
-    # the assembly kernel's scatter in the point-major engine; one extra
-    # observation pass in the observation-table engine). Measured on the
-    # 10k/1M corridor flagship (PERF.md round 3): iteration-NEUTRAL (each
-    # landmark is shared by `window` poses, so diag(S) ~ diag(A)) at
-    # +0.9 ms/LM-iteration of scatter -- hence not the default; prefer it
-    # on low-covisibility problems where the correction approaches A_jj.
-    cg_precond: str = "jacobi"  # 'jacobi' | 'schur_jacobi'
-    # Inner-CG termination. 'fixed' uses cg_tolerance as a constant relative
-    # ||r||^2 / ||rhs||^2 threshold (plus the cg_max_iterations cap);
-    # 'ew' derives the tolerance per LM iteration with an Eisenstat-Walker
-    # choice-2 forcing sequence (eta_k = gamma (||rhs_k|| / ||rhs_{k-1}||)^2,
-    # clamped to [cg_forcing_min, cg_forcing_max]) so early LM iterations --
-    # whose linearization a tight solve cannot help -- terminate CG in a
-    # handful of iterations, the standard inexact-Newton policy for BA.
-    cg_forcing: str = "fixed"  # 'fixed' | 'ew'
+    # Preconditioner of the reduced-system CG. 'schur_jacobi' (default) uses
+    # the diagonal blocks of the exact Schur complement S = A - B Cinv B^T
+    # (fused into the assembly kernel's scatter in the point-major engine --
+    # measured FREE there, the A-panel scatter grew 40->64 columns with no
+    # throughput change; one extra observation pass in the observation-table
+    # engine). 'jacobi' is the block-diagonal of the damped A. Measured on
+    # the 10k/1M corridor flagship (PERF.md round 3): iteration-NEUTRAL on
+    # high-covisibility geometry (each landmark shared by `window` poses, so
+    # diag(S) ~ diag(A)); schur_jacobi is the standard choice and wins on
+    # low-covisibility problems where the correction approaches A_jj.
+    cg_precond: str = "schur_jacobi"  # 'jacobi' | 'schur_jacobi'
+    # Inner-CG termination. 'ew' (default) derives the tolerance per LM
+    # iteration with an Eisenstat-Walker choice-2 forcing sequence
+    # (eta_k = gamma (||rhs_k|| / ||rhs_{k-1}||)^2, clamped to
+    # [cg_forcing_min, cg_forcing_max]) so early LM iterations -- whose
+    # linearization a tight solve cannot help -- terminate CG in a handful
+    # of iterations, the standard inexact-Newton policy for BA; measured a
+    # 3.6x end-to-end win at equal convergence on the flagship
+    # (benchmarks/cg_study.json, PERF.md round 3). 'fixed' uses cg_tolerance
+    # as a constant relative ||r||^2 / ||rhs||^2 threshold (plus the
+    # cg_max_iterations cap) -- the round-2 behavior, kept as the
+    # deterministic-budget escape hatch.
+    cg_forcing: str = "ew"  # 'fixed' | 'ew'
     cg_forcing_max: float = 0.1  # eta upper clamp (also the first iteration)
     cg_forcing_min: float = 1e-3  # eta lower clamp
     # Start CG from the previous LM iteration's solution instead of 0 (costs

@@ -701,6 +701,7 @@ class TestSchurJacobiPrecond:
             reduced_system="cg",
             cg_max_iterations=40,
             cg_tolerance=1e-12,
+            cg_forcing="fixed",  # the tight deterministic-budget baseline
         )
         s_ref, _ = solve_pm(problem, shape, base)
         s_ada, sum_ada = solve_pm(
@@ -726,6 +727,7 @@ class TestSchurJacobiPrecond:
             reduced_system="cg",
             cg_max_iterations=40,
             cg_tolerance=1e-12,
+            cg_forcing="fixed",  # tight-tolerance preconditioner comparison
         )
         st_sj, sum_sj = full_ba.solve(
             problem, shape, opts.replace(cg_precond="schur_jacobi")

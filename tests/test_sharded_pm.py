@@ -189,3 +189,130 @@ def test_sharded_time_iterations_refuses_chunked():
     assert np.isfinite(float(state.final_cost))
     # CPU backend: no TPU plane in the trace -> iter_time reported as -1.
     assert summary.optimization_info_list[0].iter_time == -1.0
+
+
+class TestShardedServingPath:
+    """Round-5 serving path (VERDICT r4 #1): device-side layout build +
+    warm-topology PMLayoutCache refill, mesh-placed, under the sharded PM
+    engine. A multi-chip SLAM deployment re-solving the same observation
+    graph per frame must ship only raw value columns per shard."""
+
+    def _arrays(self, seed=11):
+        prob = corridor_ba_problem(
+            num_poses=16, num_points=600, window=4, seed=seed,
+            num_fixed_poses=2,
+        )
+        fixed = np.zeros(16, bool)
+        fixed[prob.fixed_pose_ids] = True
+        return prob, fixed
+
+    def _opts(self):
+        return Options(
+            solver_type=SolverType.LEVENBERG_MARQUARDT,
+            convergence_handle=ConvergenceHandle(0.0, 0.0),
+            iteration_handle=IterationHandle(6),
+            reduced_system="cg",
+            cg_max_iterations=25,
+        )
+
+    def test_device_build_matches_host_build(self):
+        """sharded_pm_problem_from_arrays(layout='device') solved on the
+        mesh == the host-built pm_from_finalized route."""
+        from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
+            sharded_pm_problem_from_arrays,
+        )
+
+        prob, fixed = self._arrays()
+        opts = self._opts()
+        res = sharded_pm_problem_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, num_shards=4, layout="device",
+        )
+        assert res is not None
+        problem_d, shape_d, pm_d, pshape_d = res
+        a, _ = solve_sharded_pm(
+            problem_d, shape_d, opts, num_shards=4,
+            pm_and_shape=(pm_d, pshape_d),
+        )
+        problem_h, shape_h = _problem()
+        b, _ = solve_sharded_pm(problem_h, shape_h, opts, num_shards=4)
+        # The device build produces bit-identical planes, so the whole
+        # solve trajectory matches exactly.
+        np.testing.assert_array_equal(
+            np.asarray(a.poses_world_to_camera),
+            np.asarray(b.poses_world_to_camera),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.points), np.asarray(b.points)
+        )
+
+    def test_sharded_refill_matches_fresh_build(self):
+        """cache.refill with new pixel + landmark values, re-solved on the
+        mesh, == a fresh device build with those values."""
+        from bundle_adjustment_solver_tpu.parallel.sharded_pm import (
+            sharded_pm_problem_from_arrays,
+        )
+
+        prob, fixed = self._arrays()
+        opts = self._opts()
+        res = sharded_pm_problem_from_arrays(
+            prob.cameras, prob.poses_initial, prob.points_initial,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+            fixed_pose_mask=fixed, num_shards=4, layout="device",
+            return_cache=True,
+        )
+        assert res is not None
+        problem, shape, pm, pshape, cache = res
+        scale = shape.scale
+
+        rng = np.random.default_rng(3)
+        pix2 = prob.obs_pixel + rng.normal(scale=0.2, size=prob.obs_pixel.shape)
+        pts2 = prob.points_initial + rng.normal(
+            scale=0.01, size=prob.points_initial.shape
+        )
+        pm2 = cache.refill(
+            pm, (pix2 * scale).astype(np.float32),
+            (pts2 * scale).astype(np.float32),
+        )
+        a, _ = solve_sharded_pm(
+            problem, shape, opts, num_shards=4, pm_and_shape=(pm2, pshape)
+        )
+
+        res2 = sharded_pm_problem_from_arrays(
+            prob.cameras, prob.poses_initial, pts2,
+            prob.obs_camera, prob.obs_pose, prob.obs_point, pix2,
+            fixed_pose_mask=fixed, num_shards=4, layout="device",
+        )
+        problem_f, shape_f, pm_f, pshape_f = res2
+        for name in pm2._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pm_f, name)),
+                np.asarray(getattr(pm2, name)),
+                err_msg=f"plane {name}: sharded refill != fresh build",
+            )
+        b, _ = solve_sharded_pm(
+            problem_f, shape_f, opts, num_shards=4,
+            pm_and_shape=(pm_f, pshape_f),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.poses_world_to_camera),
+            np.asarray(b.poses_world_to_camera),
+        )
+
+    def test_block_misalignment_refused(self):
+        """A layout built without pad_blocks_to=num_shards must be refused
+        loudly, not wrapped incorrectly."""
+        from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
+            pm_from_finalized,
+        )
+
+        problem, shape = _problem()
+        pm, pshape = pm_from_finalized(problem, shape, pad_blocks_to=1)
+        if pshape.num_blocks % 4 == 0:
+            pytest.skip("layout happens to align; nothing to refuse")
+        with pytest.raises(ValueError, match="pad_blocks_to"):
+            solve_sharded_pm(
+                problem, shape, self._opts(), num_shards=4,
+                pm_and_shape=(pm, pshape),
+            )
