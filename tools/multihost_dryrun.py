@@ -132,12 +132,72 @@ def main() -> int:
             shape.num_opt_poses, options.cg_max_iterations,
             num_shards=n_global,
         ),
+        # Measured cross-process collective cost (VERDICT r4 #4): the only
+        # collectives this environment can physically cross a process
+        # boundary with ride Gloo -- a worst-case anchor for the DCN tier
+        # of the scaling model (real TPU DCN is faster than loopback Gloo
+        # in bandwidth but the per-collective software overhead is the
+        # quantity that dominates the flagship's small psums).
+        "gloo_collective_latency": _time_collectives(mesh, n_global),
     }
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
     return 0
+
+
+def _time_collectives(mesh, n_global: int) -> list[dict]:
+    """Median wall time of a cross-process psum at the sharded PM engine's
+    characteristic payloads (scalar sync, per-CG (Ns, 6) vector, (Ns, 64)
+    assembly panel for the flagship's Ns = 10240 pose rows).
+
+    Every process executes the same program in the same order (collective
+    rendezvous); each timed call fetches one replicated scalar, so the
+    number includes dispatch + rendezvous + transport + readback -- the
+    honest per-collective cost a solver iteration pays on this rig."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from bundle_adjustment_solver_tpu.parallel.mesh import DATA_AXIS
+
+    rows = []
+    for name, elems in (
+        ("scalar", 1),
+        ("cg_vector_Ns_x6", 10_240 * 6),
+        ("panel_Ns_x64", 10_240 * 64),
+    ):
+        per_dev = max(1, -(-elems // n_global))
+        x = jax.device_put(
+            np.full((n_global, per_dev), 0.5, np.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+        f = jax.jit(
+            jax.shard_map(
+                lambda b: jax.lax.psum(b, DATA_AXIS),
+                mesh=mesh, in_specs=P(DATA_AXIS), out_specs=P(),
+            )
+        )
+        float(jnp.asarray(f(x)).ravel()[0])  # compile + warm
+        times = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            float(jnp.asarray(f(x)).ravel()[0])
+            times.append((time.perf_counter() - t0) * 1e3)
+        times.sort()
+        rows.append({
+            "payload": name,
+            "payload_bytes": elems * 4,
+            "median_ms": round(times[len(times) // 2], 4),
+            "min_ms": round(times[0], 4),
+            "runs": len(times),
+        })
+    return rows
 
 
 def _fetch_repl(state) -> dict:

@@ -197,7 +197,9 @@ def render_parity(details) -> str:
     lines.append(
         "| 8-device scaling | pose-sharded engine: `SCALING.json` ICI "
         "projection from the measured phase split "
-        "(`benchmarks/flagship_profile.json`); sharded engines match "
+        "(`benchmarks/flagship_profile.json`) + DCN cross-slice tier "
+        "anchored by a measured Gloo collective latency "
+        "(`benchmarks/multihost_gloo.json`); sharded engines match "
         "single-device results to f32 reduction order | no multi-device "
         "support |"
     )
