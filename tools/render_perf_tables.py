@@ -107,18 +107,35 @@ def rows(details):
             "≈ 170 s extrapolated (solve + finalize)",
         ))
 
-    d = get("full_BA_seconds_resolve_warm_topology")
+    d = get("full_BA_seconds_resolve_warm_topology_to")
     if d:
         m = d["metric"]
-        idx = _detail_index(details, "full_BA_seconds_resolve_warm_topology")
+        idx = _detail_index(details,
+                            "full_BA_seconds_resolve_warm_topology_to")
         r.append((
             f"flagship WARM-TOPOLOGY RE-SOLVE: new measurement values, same "
             f"observation graph (BENCH_DETAILS #{idx}; the reference re-runs "
             f"its full finalize per Solve)",
             f"**{d['value']} s** from updated value arrays to RMSE ≤ 0.01 px "
             f"(achieved {_grab(m, r'achieved_rmse_px=([\d.]+)')} px, "
-            f"PMLayoutCache refill: raw-value H2D + device re-scatter)",
+            f"PMLayoutCache refill: raw-value H2D + device re-gather)",
             "≈ 170 s (no incremental path exists)",
+        ))
+
+    d = get("full_BA_seconds_resolve_warm_topology_sharded")
+    if d:
+        m = d["metric"]
+        idx = _detail_index(
+            details, "full_BA_seconds_resolve_warm_topology_sharded"
+        )
+        shards = _grab(m, r"(\d+)-shard")
+        r.append((
+            f"flagship warm re-solve through the SHARDED engine "
+            f"(BENCH_DETAILS #{idx}; same serving path a multi-chip mesh "
+            f"runs, {shards} shard(s) on this rig)",
+            f"**{d['value']} s** (shard_map program, PMLayoutCache refill, "
+            f"achieved {_grab(m, r'achieved_rmse_px=([\d.]+)')} px)",
+            "no multi-device support",
         ))
 
     d = get("full_BA_large")
