@@ -120,6 +120,27 @@ def _gather_window_hilo(tbl_ref, base, P, idx, width):
     return out
 
 
+def _scatter_window_hilo_fused(pan_ref, P, idx, contrib):
+    """`_scatter_window_hilo` with the (hi, lo) passes fused into ONE dot:
+    the two (cols, Kp*bm) operands concatenate along the non-contracting
+    dim, so the MXU output tile is (ch, 2*cols) instead of two (ch, cols)
+    halves -- at cols = 40|64 that doubles the systolic array's output-
+    column utilization (the scatter's measured cost is ~10x its MAC floor
+    purely from the skinny output tile; see
+    benchmarks/assemble_cost_roofline.py)."""
+    ch = min(P, _WINDOW_CHUNK)
+    cols = contrib.shape[0]
+    hi, lo = _split_hilo(contrib)
+    both = jnp.concatenate([hi, lo], axis=0)  # (2*cols, Kp*bm)
+    dn = (((1,), (1,)), ((), ()))
+    for c0 in range(0, P, ch):
+        oh = _onehot_flat(idx - c0, ch, jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, both, dn, preferred_element_type=jnp.float32
+        )  # (ch, 2*cols)
+        pan_ref[0, c0 : c0 + ch, :] = out[:, :cols] + out[:, cols:]
+
+
 def _scatter_window_hilo(pan_ref, P, idx, contrib):
     """Chunked hi/lo one-hot scatter into pan_ref[0] (P, cols): each chunk
     owns disjoint window rows, so chunks write (not accumulate)."""
@@ -132,6 +153,98 @@ def _scatter_window_hilo(pan_ref, P, idx, contrib):
             jax.lax.dot_general(ohc, hi, dn, preferred_element_type=jnp.float32)
             + jax.lax.dot_general(ohc, lo, dn, preferred_element_type=jnp.float32)
         )
+
+
+def _pick_group(nblocks: int) -> int:
+    """Blocks per grid step. G > 1 batches G consecutive landmark blocks
+    into ONE grid step with a block-diagonal one-hot, so the windowed
+    gather contracts over G*P systolic rows (vs P = 24 of 128) and the
+    windowed scatter's output tile grows to (G*P, cols) rows.
+
+    Default G = 2: the measured flagship sweet spot (10k/1M, v5e, 20-iter
+    xplane A/B): the device LM iteration drops 16.82 -> 13.73 ms (matvec
+    1.73 -> 1.41 ms/call, cost 1.69 -> 1.59, assemble 4.42 with the fused
+    scatter). G = 4 OVERSHOOTS: 18.0 ms/iter (matvec 2.05, cost 2.24) --
+    the 4x-larger one-hot operand materialization costs more than the
+    tile-utilization gain returns. BA_PM_GROUP overrides for
+    hardware/shape studies (layouts pad num_blocks to a multiple of 4, so
+    {1, 2, 4} always divide). PERF.md round 5 has the full table."""
+    import os
+
+    target = int(os.environ.get("BA_PM_GROUP", "2"))
+    for g in (4, 2):
+        if g <= target and nblocks % g == 0:
+            return g
+    return 1
+
+
+def _group_idx(slot_vals, base_ref, i, G, P, bm):
+    """Combined-window offsets for a G-block group.
+
+    slot_vals: (Kp, G*bm) absolute table rows (slot_pose) or opt rows
+    (slot_opt). Lane l belongs to sub-block g = l // bm with window base
+    base_ref[i*G + g]; its combined offset is local + g*P when the local
+    offset lies in [0, P), else -1 (no one-hot match). The range guard is
+    REQUIRED for G > 1: an out-of-window local offset (padded slot,
+    sentinel -1 - sbase) could otherwise alias ANOTHER sub-block's row
+    range."""
+    Kp, W = slot_vals.shape
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (Kp, W), 1) // bm
+    base = jnp.zeros((Kp, W), jnp.int32)
+    for g in range(G):
+        base = jnp.where(lane_g == g, base_ref[i * G + g], base)
+    local = slot_vals - base
+    ok = jnp.logical_and(local >= 0, local < P)
+    return jnp.where(ok, local + lane_g * P, -1)
+
+
+def _group_window_rows(tbl, tbase, base_ref, i, G, P, width):
+    """(G*P, width) stacked window rows for a G-block group (VMEM table
+    mode; big mode DMAs the same layout into scratch directly)."""
+    return jnp.concatenate(
+        [
+            tbl[pl.ds(tbase + base_ref[i * G + g], P), :][:, :width]
+            for g in range(G)
+        ],
+        axis=0,
+    )
+
+
+def _gather_grouped(win, GP, idx, width, hilo=False):
+    """Chunked one-hot gather over a stacked (GP, width) window."""
+    ch = min(GP, _WINDOW_CHUNK)
+    out = None
+    for c0 in range(0, GP, ch):
+        if hilo:
+            ohc = _onehot_flat(idx - c0, ch, jnp.bfloat16)
+            part = _gather_rows_hilo(win[c0 : c0 + ch, :], ohc, width)
+        else:
+            ohc = _onehot_flat(idx - c0, ch)
+            part = _gather_rows(win[c0 : c0 + ch, :], ohc, width)
+        out = part if out is None else out + part
+    return out
+
+
+def _scatter_grouped_fused(pan_ref, G, P, idx, contrib):
+    """Grouped fused hi/lo one-hot scatter into pan_ref (G, P, cols).
+
+    Output rows are the stacked windows of the G sub-blocks ((G*P, cols)
+    per grid step vs (P, cols) ungrouped); chunk boundaries stay multiples
+    of P so each chunk writes whole panel rows."""
+    GP = G * P
+    cols = contrib.shape[0]
+    hi, lo = _split_hilo(contrib)
+    both = jnp.concatenate([hi, lo], axis=0)
+    dn = (((1,), (1,)), ((), ()))
+    ch = max(P, (_WINDOW_CHUNK // P) * P)
+    ch = min(GP, ch)
+    for c0 in range(0, GP, ch):
+        oh = _onehot_flat(idx - c0, ch, jnp.bfloat16)
+        out = jax.lax.dot_general(
+            oh, both, dn, preferred_element_type=jnp.float32
+        )  # (ch, 2*cols)
+        res = (out[:, :cols] + out[:, cols:]).reshape(ch // P, P, cols)
+        pan_ref[pl.ds(c0 // P, ch // P)] = res
 
 
 def _onehot_flat(idx, P, dtype=jnp.float32):
@@ -295,30 +408,49 @@ def _inverse_sym3(c, det_floor=1e-30):
     return [i00, i01, i02, i11, i12, i22]
 
 
-def _assemble_kernel(shape: PMShape, big: bool, emit_schur: bool, gbase_ref,
-                     sbase_ref, pose_tbl_ref, cam_ref, scal_ref, obs_ref,
-                     spose_ref, sopt_ref, X_ref, U_ref, Cb_ref, Apan_ref,
-                     scratch_ref=None, sem=None):
-    Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
+def _assemble_kernel(shape: PMShape, big: bool, emit_schur: bool, G: int,
+                     gbase_ref, sbase_ref, pose_tbl_ref, cam_ref, scal_ref,
+                     obs_ref, spose_ref, sopt_ref, X_ref, U_ref, Cb_ref,
+                     Apan_ref, scratch_ref=None, sem=None):
+    Kp, C, bm0, P = shape.slots, shape.cams, shape.block_points, shape.window
+    bm = bm0 * G  # effective lane width: G landmark blocks per grid step
     i = pl.program_id(0)
-    gbase = gbase_ref[i]
-    sbase = sbase_ref[i]
     lam = scal_ref[0, 0]
     huber = scal_ref[0, 1]
 
-    if big:
-        # Large-N: the pose table lives in HBM; DMA this block's window.
-        cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
-        idx_g = spose_ref[:] - gbase  # (Kp, bm)
-        cp.wait()
-        tbl, tbase = scratch_ref, 0
-    else:
-        idx_g = spose_ref[:] - gbase
-        tbl, tbase = pose_tbl_ref, gbase
-
     # Windowed one-hot gather of pose rows: wide MXU dots, chunked over the
-    # window so VMEM stays bounded; pose values must stay exact f32.
-    g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
+    # window so VMEM stays bounded; pose values must stay exact f32. G > 1
+    # stacks the G sub-blocks' windows block-diagonally so the dot
+    # contracts over G*P systolic rows (see _pick_group).
+    if G == 1:
+        gbase = gbase_ref[i]
+        if big:
+            # Large-N: the pose table lives in HBM; DMA this block's window.
+            cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
+            idx_g = spose_ref[:] - gbase  # (Kp, bm)
+            cp.wait()
+            tbl, tbase = scratch_ref, 0
+        else:
+            idx_g = spose_ref[:] - gbase
+            tbl, tbase = pose_tbl_ref, gbase
+        g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
+    else:
+        if big:
+            cps = [
+                _start_window_copy(
+                    pose_tbl_ref, gbase_ref[i * G + g_], P,
+                    scratch_ref.at[pl.ds(g_ * P, P)], sem,
+                )
+                for g_ in range(G)
+            ]
+            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+            for cp in cps:
+                cp.wait()
+            win = scratch_ref[...][:, :16]
+        else:
+            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+            win = _group_window_rows(pose_tbl_ref, 0, gbase_ref, i, G, P, 16)
+        g = _gather_grouped(win, G * P, idx_g, 16).reshape(16, Kp, bm)
 
     X_blk = X_ref[:]  # (4, bm)
     pmask = X_blk[3:4, :]  # (1, bm) 1.0 for optimizable landmarks
@@ -426,7 +558,6 @@ def _assemble_kernel(shape: PMShape, big: bool, emit_schur: bool, gbase_ref,
     # [33:54) upper-tri Schur-diagonal correction (emit_schur only).
     cols = A_COLS_SCHUR if emit_schur else A_COLS
     used = 33 + len(schur_rows)
-    idx_s = sopt_ref[:] - sbase  # (Kp, bm); fixed/pad slots give -1 - sbase
     contrib = jnp.concatenate(
         [Atri[n_].reshape(1, Kp * bm) for n_ in range(21)]
         + [avec[a_].reshape(1, Kp * bm) for a_ in range(6)]
@@ -435,26 +566,46 @@ def _assemble_kernel(shape: PMShape, big: bool, emit_schur: bool, gbase_ref,
         + [jnp.zeros((cols - used, Kp * bm), jnp.float32)],
         axis=0,
     )  # (cols, Kp*bm)
-    _scatter_window_hilo(Apan_ref, P, idx_s, contrib)
+    if G == 1:
+        # fixed/pad slots give -1 - sbase: out of [0, P), no one-hot match.
+        idx_s = sopt_ref[:] - sbase_ref[i]
+        _scatter_window_hilo_fused(Apan_ref, P, idx_s, contrib)
+    else:
+        idx_s = _group_idx(sopt_ref[:], sbase_ref, i, G, P, bm0)
+        _scatter_grouped_fused(Apan_ref, G, P, idx_s, contrib)
 
 
-def _matvec_kernel(shape: PMShape, mode: str, big: bool, sbase_ref,
+def _matvec_kernel(shape: PMShape, mode: str, big: bool, G: int, sbase_ref,
                    x_tbl_ref, U_ref, Cb_ref, sopt_ref, out_pan_ref, t_ref,
                    scratch_ref=None, sem=None):
-    Kp, bm, P = shape.slots, shape.block_points, shape.window
+    Kp, bm0, P = shape.slots, shape.block_points, shape.window
+    bm = bm0 * G  # effective lane width: G landmark blocks per grid step
+    GP = G * P
     i = pl.program_id(0)
-    sbase = sbase_ref[i]
-    if big and mode != "rhs":
-        cp = _start_window_copy(x_tbl_ref, sbase, P, scratch_ref, sem)
-    idx_s = sopt_ref[:] - sbase  # (Kp, bm)
+    if G == 1:
+        sbase = sbase_ref[i]
+        if big and mode != "rhs":
+            cp = _start_window_copy(x_tbl_ref, sbase, P, scratch_ref, sem)
+        idx_s = sopt_ref[:] - sbase  # (Kp, bm)
+    else:
+        if big and mode != "rhs":
+            cps = [
+                _start_window_copy(
+                    x_tbl_ref, sbase_ref[i * G + g_], P,
+                    scratch_ref.at[pl.ds(g_ * P, P)], sem,
+                )
+                for g_ in range(G)
+            ]
+        idx_s = _group_idx(sopt_ref[:], sbase_ref, i, G, P, bm0)
 
     # One-hot chunks built ONCE and shared by the gather and the scatter
     # (their dots contract the same (chunk, Kp*bm) operand on opposite
-    # sides); building it twice paid the iota+compare cost twice.
-    ch = min(P, _WINDOW_CHUNK)
+    # sides); building it twice paid the iota+compare cost twice. Chunks
+    # stay multiples of P so the grouped scatter writes whole panel rows.
+    ch = min(GP, max(P, (_WINDOW_CHUNK // P) * P))
     ohs = [
         (c0, _onehot_flat(idx_s - c0, ch, jnp.bfloat16))
-        for c0 in range(0, P, ch)
+        for c0 in range(0, GP, ch)
     ]
 
     # Full-sublane (Kp, bm) planes, upcast once from the storage dtype.
@@ -468,16 +619,24 @@ def _matvec_kernel(shape: PMShape, mode: str, big: bool, sbase_ref,
         # Gather x at every slot's pose in wide chunked dots (fixed slots
         # gather zeros), then t = sum_slots U^T x (pass 1 of the S matvec);
         # all element math runs on full-sublane (Kp, bm) planes.
-        if big:
-            cp.wait()
-            tbl, tbase = scratch_ref, 0
+        if G == 1:
+            if big:
+                cp.wait()
+                win = scratch_ref[...][:, :8]
+            else:
+                win = x_tbl_ref[pl.ds(sbase, P), :][:, :8]
         else:
-            tbl, tbase = x_tbl_ref, sbase
+            if big:
+                for cp in cps:
+                    cp.wait()
+                win = scratch_ref[...][:, :8]
+            else:
+                win = _group_window_rows(
+                    x_tbl_ref, 0, sbase_ref, i, G, P, 8
+                )
         xg = None
         for c0, oh in ohs:
-            part = _gather_rows_hilo(
-                tbl[pl.ds(tbase + c0, ch), :][:, :8], oh, 8
-            )
+            part = _gather_rows_hilo(win[c0 : c0 + ch, :], oh, 8)
             xg = part if xg is None else xg + part
         xg_all = xg.reshape(8, Kp, bm)
         t = []
@@ -498,7 +657,9 @@ def _matvec_kernel(shape: PMShape, mode: str, big: bool, sbase_ref,
     v2 = ci[2] * t[0] + ci[4] * t[1] + ci[5] * t[2]
 
     # w_slot = U v ((1, bm) v broadcasts over the Kp sublanes), scattered
-    # back to the pose panel in one wide dot per chunk.
+    # back to the pose panel in one fused hi/lo dot per chunk (the (hi, lo)
+    # operands concatenate along the output dim -- same trick as the
+    # assembly scatter, doubling the skinny output tile's width).
     rows = []
     for a_ in range(6):
         row = U[a_ * 3] * v0 + U[a_ * 3 + 1] * v1 + U[a_ * 3 + 2] * v2
@@ -506,31 +667,57 @@ def _matvec_kernel(shape: PMShape, mode: str, big: bool, sbase_ref,
     rows.append(jnp.zeros((2, Kp * bm), jnp.float32))
     contrib = jnp.concatenate(rows, axis=0)  # (8, Kp*bm)
     hi, lo = _split_hilo(contrib)
+    both = jnp.concatenate([hi, lo], axis=0)  # (16, Kp*bm)
     dn = (((1,), (1,)), ((), ()))
     for c0, oh in ohs:
-        out_pan_ref[0, c0 : c0 + ch, :] = (
-            jax.lax.dot_general(oh, hi, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(oh, lo, dn, preferred_element_type=jnp.float32)
-        )
+        out = jax.lax.dot_general(
+            oh, both, dn, preferred_element_type=jnp.float32
+        )  # (ch, 16)
+        res = out[:, :8] + out[:, 8:]
+        if G == 1:
+            out_pan_ref[0, c0 : c0 + ch, :] = res
+        else:
+            out_pan_ref[pl.ds(c0 // P, ch // P)] = res.reshape(
+                ch // P, P, 8
+            )
 
 
-def _cost_kernel(shape: PMShape, big: bool, gbase_ref, pose_tbl_ref,
+def _cost_kernel(shape: PMShape, big: bool, G: int, gbase_ref, pose_tbl_ref,
                  cam_ref, scal_ref, obs_ref, spose_ref, X_ref, cost_ref,
                  scratch_ref=None, sem=None):
-    Kp, C, bm, P = shape.slots, shape.cams, shape.block_points, shape.window
+    Kp, C, bm0, P = shape.slots, shape.cams, shape.block_points, shape.window
+    bm = bm0 * G
     i = pl.program_id(0)
-    gbase = gbase_ref[i]
     huber = scal_ref[0, 1]
 
-    if big:
-        cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
-        idx_g = spose_ref[:] - gbase
-        cp.wait()
-        tbl, tbase = scratch_ref, 0
+    if G == 1:
+        gbase = gbase_ref[i]
+        if big:
+            cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
+            idx_g = spose_ref[:] - gbase
+            cp.wait()
+            tbl, tbase = scratch_ref, 0
+        else:
+            idx_g = spose_ref[:] - gbase
+            tbl, tbase = pose_tbl_ref, gbase
+        g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
     else:
-        idx_g = spose_ref[:] - gbase
-        tbl, tbase = pose_tbl_ref, gbase
-    g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
+        if big:
+            cps = [
+                _start_window_copy(
+                    pose_tbl_ref, gbase_ref[i * G + g_], P,
+                    scratch_ref.at[pl.ds(g_ * P, P)], sem,
+                )
+                for g_ in range(G)
+            ]
+            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+            for cp in cps:
+                cp.wait()
+            win = scratch_ref[...][:, :16]
+        else:
+            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+            win = _group_window_rows(pose_tbl_ref, 0, gbase_ref, i, G, P, 16)
+        g = _gather_grouped(win, G * P, idx_g, 16).reshape(16, Kp, bm)
 
     per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
     s_norm = jnp.float32(0)
@@ -652,11 +839,13 @@ def assemble_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl,
     if big:
         # HBM DMA slices must be 128-lane aligned (Mosaic tiling); pad.
         pose_tbl = jnp.pad(pose_tbl, ((0, 0), (0, 128 - pose_tbl.shape[1])))
+    G = _pick_group(nblocks)
+    bmG = bm * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # gbase, sbase
-        grid=(nblocks,),
+        grid=(nblocks // G,),
         scratch_shapes=(
-            [pltpu.VMEM((P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((G * P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
             if big
             else []
         ),
@@ -664,26 +853,26 @@ def assemble_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl,
             pl.BlockSpec(memory_space=pl.ANY if big else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl (C, 16)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (1, 2)
-            pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((3 * Kp * C, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # obs planes
-            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((Kp, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # slot_pose
-            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((Kp, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # slot_opt
-            pl.BlockSpec((4, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((4, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # X
         ],
         out_specs=[
-            pl.BlockSpec((18, Kp, bm), lambda i, *_: (0, 0, i),
+            pl.BlockSpec((18, Kp, bmG), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),  # U
-            pl.BlockSpec((16, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((16, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # Cb
-            pl.BlockSpec((1, P, cols), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, P, cols), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # A panels
         ],
     )
     U, Cb, Apan = pl.pallas_call(
-        functools.partial(_assemble_kernel, shape, big, emit_schur),
+        functools.partial(_assemble_kernel, shape, big, emit_schur, G),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((18, Kp, Mp), jnp.dtype(u_dtype)),
@@ -788,32 +977,34 @@ def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
     big = _table_is_big(x_tbl.shape[0])
     if big:
         x_tbl = jnp.pad(x_tbl, ((0, 0), (0, 128 - x_tbl.shape[1])))
+    G = _pick_group(nblocks)
+    bmG = bm * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sbase
-        grid=(nblocks,),
+        grid=(nblocks // G,),
         scratch_shapes=(
-            [pltpu.VMEM((P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((G * P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
             if big
             else []
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY if big else pltpu.VMEM),
-            pl.BlockSpec((18, Kp, bm), lambda i, *_: (0, 0, i),
+            pl.BlockSpec((18, Kp, bmG), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),  # U
-            pl.BlockSpec((16, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((16, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # Cb
-            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((Kp, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),  # slot_opt
         ],
         out_specs=[
-            pl.BlockSpec((1, P, 8), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((G, P, 8), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((4, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_matvec_kernel, shape, mode, big),
+        functools.partial(_matvec_kernel, shape, mode, big, G),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nblocks, P, 8), jnp.float32),
@@ -877,11 +1068,13 @@ def cost_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl, X, rig,
     big = _table_is_big(pose_tbl.shape[0])
     if big:
         pose_tbl = jnp.pad(pose_tbl, ((0, 0), (0, 128 - pose_tbl.shape[1])))
+    G = _pick_group(nblocks)
+    bmG = bm * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # gbase
-        grid=(nblocks,),
+        grid=(nblocks // G,),
         scratch_shapes=(
-            [pltpu.VMEM((P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((G * P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
             if big
             else []
         ),
@@ -889,18 +1082,18 @@ def cost_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl, X, rig,
             pl.BlockSpec(memory_space=pl.ANY if big else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam_tbl
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
-            pl.BlockSpec((3 * Kp * C, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((3 * Kp * C, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((Kp, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, bm), lambda i, *_: (0, i),
+            pl.BlockSpec((4, bmG), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     tot = pl.pallas_call(
-        functools.partial(_cost_kernel, shape, big),
+        functools.partial(_cost_kernel, shape, big, G),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         interpret=interpret,

@@ -86,17 +86,20 @@ class Options:
     reduced_system: str = "auto"  # 'dense' | 'cg' | 'pm' | 'auto'
     cg_max_iterations: int = 100
     cg_tolerance: float = 1e-8
-    # Preconditioner of the reduced-system CG. 'schur_jacobi' (default) uses
-    # the diagonal blocks of the exact Schur complement S = A - B Cinv B^T
-    # (fused into the assembly kernel's scatter in the point-major engine --
-    # measured FREE there, the A-panel scatter grew 40->64 columns with no
-    # throughput change; one extra observation pass in the observation-table
-    # engine). 'jacobi' is the block-diagonal of the damped A. Measured on
-    # the 10k/1M corridor flagship (PERF.md round 3): iteration-NEUTRAL on
-    # high-covisibility geometry (each landmark shared by `window` poses, so
-    # diag(S) ~ diag(A)); schur_jacobi is the standard choice and wins on
-    # low-covisibility problems where the correction approaches A_jj.
-    cg_precond: str = "schur_jacobi"  # 'jacobi' | 'schur_jacobi'
+    # Preconditioner of the reduced-system CG. 'jacobi' (default) is the
+    # block-diagonal of the damped A. 'schur_jacobi' uses the diagonal
+    # blocks of the exact Schur complement S = A - B Cinv B^T, fused into
+    # the assembly kernel's scatter in the point-major engine (one extra
+    # observation pass in the observation-table engine). Measured on the
+    # 10k/1M corridor flagship: iteration-NEUTRAL on high-covisibility
+    # geometry (each landmark shared by `window` poses, so diag(S) ~
+    # diag(A)) and NOT free to emit at this scale -- +0.93 ms/LM-iteration
+    # of assembly scatter, ~5% of the device iteration
+    # (benchmarks/assemble_cost_roofline.json, round 5; the round-3 "free"
+    # claim held only at 2k/200k where the panel is a smaller share).
+    # Prefer 'schur_jacobi' on low-covisibility problems, where the
+    # correction approaches A_jj and cuts CG iterations.
+    cg_precond: str = "jacobi"  # 'jacobi' | 'schur_jacobi'
     # Inner-CG termination. 'ew' (default) derives the tolerance per LM
     # iteration with an Eisenstat-Walker choice-2 forcing sequence
     # (eta_k = gamma (||rhs_k|| / ||rhs_{k-1}||)^2, clamped to

@@ -351,7 +351,10 @@ class TestDefaultOptionsAreTheStudiedConfig:
     def test_defaults_match_bench_configuration(self):
         opts = Options()
         assert opts.cg_forcing == "ew"
-        assert opts.cg_precond == "schur_jacobi"
+        # 'jacobi', not 'schur_jacobi': iteration-neutral on the flagship
+        # AND 0.93 ms/LM-iter cheaper to assemble (the Schur panel emission
+        # is not free at flagship scale -- assemble_cost_roofline.json).
+        assert opts.cg_precond == "jacobi"
         assert opts.cg_fused_step is True
         # bench.py's full_ba_options differs from Options() only in
         # workload-shaping fields (thresholds/iteration counts/system
@@ -376,7 +379,7 @@ class TestDefaultOptionsAreTheStudiedConfig:
         )
         opts_default = lm_options(max_iter=5, reduced_system="cg")
         opts_explicit = opts_default.replace(
-            cg_forcing="ew", cg_precond="schur_jacobi", cg_fused_step=True
+            cg_forcing="ew", cg_precond="jacobi", cg_fused_step=True
         )
         st_d = full_ba._solve_jax(problem, shape, opts_default, "cg")
         st_e = full_ba._solve_jax(problem, shape, opts_explicit, "cg")

@@ -35,6 +35,14 @@ def cg_options(max_iter=60, thr=1e-6):
         reduced_system="cg",
         cg_max_iterations=200,
         cg_tolerance=1e-12,
+        # Pinned (round-5 default is 'ew'): these invariance tests isolate
+        # SHARDING effects, and adaptive forcing derives its inner
+        # tolerance from ||rhs||, whose f32 value varies with the psum
+        # reduction order -- near convergence that flips one CG/LM
+        # iteration across shard counts and moves the (near-zero) final
+        # cost by more than the tolerance here. Deterministic-forcing
+        # convention as in the other parity-calibrated tests.
+        cg_forcing="fixed",
     )
 
 
