@@ -276,7 +276,11 @@ def sharded_pm_problem_from_arrays(
         cameras, poses_world_to_camera, points, obs_cam, obs_pose,
         obs_point, obs_pixel, fixed_pose_mask=fixed_pose_mask,
         fixed_point_mask=fixed_point_mask, scale=scale,
-        pad_blocks_to=num_shards, layout=layout,
+        # 4*num_shards: each shard's LOCAL block count stays a multiple of
+        # 4 so the per-shard kernels keep the grid-group (G-block) mode
+        # (ops/pallas/full_ba_pm._pick_group); <=4*num_shards-1 masked
+        # padding blocks.
+        pad_blocks_to=4 * num_shards, layout=layout,
         return_cache=return_cache, **build_kw,
     )
     if res is None:
@@ -746,7 +750,9 @@ def solve_sharded_pm(
         interpret = jax.default_backend() == "cpu"
     if pm_and_shape is None:
         res = pm_from_finalized(
-            problem, shape, host=host, pad_blocks_to=num_shards
+            # 4*num_shards keeps each shard's local block count a multiple
+            # of 4 (grid-group kernels per shard, see _pick_group).
+            problem, shape, host=host, pad_blocks_to=4 * num_shards
         )
         if res is None:
             raise ValueError(
