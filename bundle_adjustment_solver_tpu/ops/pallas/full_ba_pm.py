@@ -92,6 +92,52 @@ def _start_window_copy(tbl_hbm_ref, base, P, scratch_ref, sem):
     return cp
 
 
+def _window_pipeline(tbl_ref, base_ref, i, G, P, scratch_ref, sem):
+    """Double-buffered big-mode window DMA: returns step i's (G*P, 128)
+    pose/x window slab from `scratch_ref` ((2, G*P, 128) VMEM) without a
+    serial DMA wait on the critical path.
+
+    The ungrouped design started this step's G window copies and waited
+    before the gather -- a per-grid-step DMA-latency stall that dominates
+    the big-table mode's gap to its DMA floor (~2.4x floor at 50k/5M vs
+    the VMEM mode's 1.2x; PERF.md round 5). Here step i's copies were
+    issued at step i-1 (step 0 warms up its own), and step i+1's are
+    issued into the other buffer BEFORE waiting, so they overlap this
+    step's compute. Grid steps run sequentially on the core and scratch
+    persists across them, so buffer (i%2) is never in flight when step i
+    reads it. `base_ref` is scalar-prefetched: step i+1's bases are
+    available at step i."""
+    nsteps = pl.num_programs(0)
+    buf = jax.lax.rem(i, 2)
+
+    def copies(step, b):
+        return [
+            pltpu.make_async_copy(
+                tbl_ref.at[pl.ds(base_ref[step * G + g_], P)],
+                scratch_ref.at[b, pl.ds(g_ * P, P)],
+                sem.at[b],
+            )
+            for g_ in range(G)
+        ]
+
+    @pl.when(i == 0)
+    def _():
+        for cp in copies(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        for cp in copies(i + 1, 1 - buf):
+            cp.start()
+
+    # Waits match the copies issued for THIS step (same byte counts; the
+    # semaphore slot is per-buffer, so the just-started next-step copies
+    # signal the other slot).
+    for cp in copies(i, buf):
+        cp.wait()
+    return scratch_ref[buf]
+
+
 def _gather_window(tbl_ref, base, P, idx, width):
     """Chunked windowed one-hot gather: sum over window chunks of
     tbl[base + c0 : base + c0 + CH]^T @ onehot(idx - base - c0).
@@ -422,34 +468,25 @@ def _assemble_kernel(shape: PMShape, big: bool, emit_schur: bool, G: int,
     # window so VMEM stays bounded; pose values must stay exact f32. G > 1
     # stacks the G sub-blocks' windows block-diagonally so the dot
     # contracts over G*P systolic rows (see _pick_group).
-    if G == 1:
-        gbase = gbase_ref[i]
-        if big:
-            # Large-N: the pose table lives in HBM; DMA this block's window.
-            cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
-            idx_g = spose_ref[:] - gbase  # (Kp, bm)
-            cp.wait()
-            tbl, tbase = scratch_ref, 0
+    if big:
+        # Large-N: the pose table lives in HBM; windows arrive through the
+        # double-buffered pipeline (issued one grid step ahead).
+        if G == 1:
+            idx_g = spose_ref[:] - gbase_ref[i]  # (Kp, bm)
         else:
-            idx_g = spose_ref[:] - gbase
-            tbl, tbase = pose_tbl_ref, gbase
-        g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
+            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+        win = _window_pipeline(
+            pose_tbl_ref, gbase_ref, i, G, P, scratch_ref, sem
+        )[:, :16]
+        g = _gather_grouped(win, G * P, idx_g, 16).reshape(16, Kp, bm)
+    elif G == 1:
+        idx_g = spose_ref[:] - gbase_ref[i]
+        g = _gather_window(
+            pose_tbl_ref, gbase_ref[i], P, idx_g, 16
+        ).reshape(16, Kp, bm)
     else:
-        if big:
-            cps = [
-                _start_window_copy(
-                    pose_tbl_ref, gbase_ref[i * G + g_], P,
-                    scratch_ref.at[pl.ds(g_ * P, P)], sem,
-                )
-                for g_ in range(G)
-            ]
-            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
-            for cp in cps:
-                cp.wait()
-            win = scratch_ref[...][:, :16]
-        else:
-            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
-            win = _group_window_rows(pose_tbl_ref, 0, gbase_ref, i, G, P, 16)
+        idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+        win = _group_window_rows(pose_tbl_ref, 0, gbase_ref, i, G, P, 16)
         g = _gather_grouped(win, G * P, idx_g, 16).reshape(16, Kp, bm)
 
     X_blk = X_ref[:]  # (4, bm)
@@ -583,19 +620,8 @@ def _matvec_kernel(shape: PMShape, mode: str, big: bool, G: int, sbase_ref,
     GP = G * P
     i = pl.program_id(0)
     if G == 1:
-        sbase = sbase_ref[i]
-        if big and mode != "rhs":
-            cp = _start_window_copy(x_tbl_ref, sbase, P, scratch_ref, sem)
-        idx_s = sopt_ref[:] - sbase  # (Kp, bm)
+        idx_s = sopt_ref[:] - sbase_ref[i]  # (Kp, bm)
     else:
-        if big and mode != "rhs":
-            cps = [
-                _start_window_copy(
-                    x_tbl_ref, sbase_ref[i * G + g_], P,
-                    scratch_ref.at[pl.ds(g_ * P, P)], sem,
-                )
-                for g_ in range(G)
-            ]
         idx_s = _group_idx(sopt_ref[:], sbase_ref, i, G, P, bm0)
 
     # One-hot chunks built ONCE and shared by the gather and the scatter
@@ -619,21 +645,16 @@ def _matvec_kernel(shape: PMShape, mode: str, big: bool, G: int, sbase_ref,
         # Gather x at every slot's pose in wide chunked dots (fixed slots
         # gather zeros), then t = sum_slots U^T x (pass 1 of the S matvec);
         # all element math runs on full-sublane (Kp, bm) planes.
-        if G == 1:
-            if big:
-                cp.wait()
-                win = scratch_ref[...][:, :8]
-            else:
-                win = x_tbl_ref[pl.ds(sbase, P), :][:, :8]
+        if big:
+            # Windows arrive through the double-buffered DMA pipeline
+            # (issued one grid step ahead; see _window_pipeline).
+            win = _window_pipeline(
+                x_tbl_ref, sbase_ref, i, G, P, scratch_ref, sem
+            )[:, :8]
+        elif G == 1:
+            win = x_tbl_ref[pl.ds(sbase_ref[i], P), :][:, :8]
         else:
-            if big:
-                for cp in cps:
-                    cp.wait()
-                win = scratch_ref[...][:, :8]
-            else:
-                win = _group_window_rows(
-                    x_tbl_ref, 0, sbase_ref, i, G, P, 8
-                )
+            win = _group_window_rows(x_tbl_ref, 0, sbase_ref, i, G, P, 8)
         xg = None
         for c0, oh in ohs:
             part = _gather_rows_hilo(win[c0 : c0 + ch, :], oh, 8)
@@ -690,33 +711,25 @@ def _cost_kernel(shape: PMShape, big: bool, G: int, gbase_ref, pose_tbl_ref,
     i = pl.program_id(0)
     huber = scal_ref[0, 1]
 
-    if G == 1:
-        gbase = gbase_ref[i]
-        if big:
-            cp = _start_window_copy(pose_tbl_ref, gbase, P, scratch_ref, sem)
-            idx_g = spose_ref[:] - gbase
-            cp.wait()
-            tbl, tbase = scratch_ref, 0
+    if big:
+        # Windows arrive through the double-buffered DMA pipeline
+        # (issued one grid step ahead; see _window_pipeline).
+        if G == 1:
+            idx_g = spose_ref[:] - gbase_ref[i]
         else:
-            idx_g = spose_ref[:] - gbase
-            tbl, tbase = pose_tbl_ref, gbase
-        g = _gather_window(tbl, tbase, P, idx_g, 16).reshape(16, Kp, bm)
+            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+        win = _window_pipeline(
+            pose_tbl_ref, gbase_ref, i, G, P, scratch_ref, sem
+        )[:, :16]
+        g = _gather_grouped(win, G * P, idx_g, 16).reshape(16, Kp, bm)
+    elif G == 1:
+        idx_g = spose_ref[:] - gbase_ref[i]
+        g = _gather_window(
+            pose_tbl_ref, gbase_ref[i], P, idx_g, 16
+        ).reshape(16, Kp, bm)
     else:
-        if big:
-            cps = [
-                _start_window_copy(
-                    pose_tbl_ref, gbase_ref[i * G + g_], P,
-                    scratch_ref.at[pl.ds(g_ * P, P)], sem,
-                )
-                for g_ in range(G)
-            ]
-            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
-            for cp in cps:
-                cp.wait()
-            win = scratch_ref[...][:, :16]
-        else:
-            idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
-            win = _group_window_rows(pose_tbl_ref, 0, gbase_ref, i, G, P, 16)
+        idx_g = _group_idx(spose_ref[:], gbase_ref, i, G, P, bm0)
+        win = _group_window_rows(pose_tbl_ref, 0, gbase_ref, i, G, P, 16)
         g = _gather_grouped(win, G * P, idx_g, 16).reshape(16, Kp, bm)
 
     per_cam, _ = _warp_and_project(shape, g, X_ref[:], obs_ref[:], cam_ref, huber)
@@ -845,7 +858,8 @@ def assemble_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl,
         num_scalar_prefetch=2,  # gbase, sbase
         grid=(nblocks // G,),
         scratch_shapes=(
-            [pltpu.VMEM((G * P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((2, G * P, 128), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))]
             if big
             else []
         ),
@@ -983,7 +997,8 @@ def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
         num_scalar_prefetch=1,  # sbase
         grid=(nblocks // G,),
         scratch_shapes=(
-            [pltpu.VMEM((G * P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((2, G * P, 128), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))]
             if big
             else []
         ),
@@ -1074,7 +1089,8 @@ def cost_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl, X, rig,
         num_scalar_prefetch=1,  # gbase
         grid=(nblocks // G,),
         scratch_shapes=(
-            [pltpu.VMEM((G * P, 128), jnp.float32), pltpu.SemaphoreType.DMA]
+            [pltpu.VMEM((2, G * P, 128), jnp.float32),
+             pltpu.SemaphoreType.DMA((2,))]
             if big
             else []
         ),
