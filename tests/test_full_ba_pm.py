@@ -463,7 +463,20 @@ class TestBigTableMode:
     """Large-N tables (HBM + per-block DMA windows) vs the VMEM-resident
     path: identical results when the threshold is forced low."""
 
-    def test_big_table_solve_matches_resident(self, monkeypatch):
+    @pytest.mark.parametrize(
+        "num_points,lm_iters",
+        [
+            (600, 8),  # 4 padded blocks -> 2 grid-group steps
+            # 12 blocks -> 6 grid-group steps: the double-buffered window
+            # DMA pipeline (_window_pipeline) ping-pongs buffers across
+            # several steps, covering warm-up, steady state, and the
+            # no-prefetch last step.
+            (2600, 4),
+        ],
+    )
+    def test_big_table_solve_matches_resident(
+        self, monkeypatch, num_points, lm_iters
+    ):
         import numpy as np
 
         from bundle_adjustment_solver_tpu.models.problem import (
@@ -482,7 +495,7 @@ class TestBigTableMode:
         )
 
         prob = corridor_ba_problem(
-            num_poses=20, num_points=600, window=4, seed=13
+            num_poses=20, num_points=num_points, window=4, seed=13
         )
         fixed = np.zeros(20, bool)
         fixed[prob.fixed_pose_ids] = True
@@ -494,7 +507,7 @@ class TestBigTableMode:
         opts = Options(
             solver_type=SolverType.LEVENBERG_MARQUARDT,
             convergence_handle=ConvergenceHandle(0.0, 0.0),
-            iteration_handle=IterationHandle(8),
+            iteration_handle=IterationHandle(lm_iters),
             reduced_system="cg", cg_max_iterations=20, cg_tolerance=1e-10,
         )
         def clear_jits():
