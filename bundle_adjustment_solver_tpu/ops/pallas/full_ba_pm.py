@@ -83,15 +83,6 @@ def _table_is_big(rows: int) -> bool:
     return rows > _TABLE_VMEM_ROWS
 
 
-def _start_window_copy(tbl_hbm_ref, base, P, scratch_ref, sem):
-    """Begin the async copy of rows [base, base+P) into scratch."""
-    cp = pltpu.make_async_copy(
-        tbl_hbm_ref.at[pl.ds(base, P)], scratch_ref, sem
-    )
-    cp.start()
-    return cp
-
-
 def _window_pipeline(tbl_ref, base_ref, i, G, P, scratch_ref, sem):
     """Double-buffered big-mode window DMA: returns step i's (G*P, 128)
     pose/x window slab from `scratch_ref` ((2, G*P, 128) VMEM) without a
@@ -155,17 +146,6 @@ def _gather_window(tbl_ref, base, P, idx, width):
     return out
 
 
-def _gather_window_hilo(tbl_ref, base, P, idx, width):
-    """Chunked hi/lo-bf16 variant of _gather_window (CG x-gather)."""
-    ch = min(P, _WINDOW_CHUNK)
-    out = None
-    for c0 in range(0, P, ch):
-        ohc = _onehot_flat(idx - c0, ch, jnp.bfloat16)
-        part = _gather_rows_hilo(tbl_ref[pl.ds(base + c0, ch), :], ohc, width)
-        out = part if out is None else out + part
-    return out
-
-
 def _scatter_window_hilo_fused(pan_ref, P, idx, contrib):
     """`_scatter_window_hilo` with the (hi, lo) passes fused into ONE dot:
     the two (cols, Kp*bm) operands concatenate along the non-contracting
@@ -201,11 +181,19 @@ def _scatter_window_hilo(pan_ref, P, idx, contrib):
         )
 
 
-def _pick_group(nblocks: int) -> int:
+def _pick_group(nblocks: int, P: int) -> int:
     """Blocks per grid step. G > 1 batches G consecutive landmark blocks
     into ONE grid step with a block-diagonal one-hot, so the windowed
     gather contracts over G*P systolic rows (vs P = 24 of 128) and the
     windowed scatter's output tile grows to (G*P, cols) rows.
+
+    Grouping requires G*P <= _WINDOW_CHUNK: the grouped gathers/scatters
+    then run as a SINGLE chunk that exactly tiles the stacked window (a
+    partial chunk would mis-tile -- e.g. P=160, G=2 gives GP=320 vs a 256
+    chunk -- and the grouped scatter additionally needs whole-P chunks for
+    its panel-row writes). Wide windows (G*P > chunk) gain nothing from
+    grouping anyway -- P >= 128 already fills the MXU contraction -- so
+    they take the proven ungrouped path with its sub-window chunking.
 
     Default G = 2: the measured flagship sweet spot (10k/1M, v5e, 20-iter
     xplane A/B): the device LM iteration drops 16.82 -> 13.73 ms (matvec
@@ -214,12 +202,15 @@ def _pick_group(nblocks: int) -> int:
     the 4x-larger one-hot operand materialization costs more than the
     tile-utilization gain returns. BA_PM_GROUP overrides for
     hardware/shape studies (layouts pad num_blocks to a multiple of 4, so
-    {1, 2, 4} always divide). PERF.md round 5 has the full table."""
+    {1, 2, 4} always divide); it is read at TRACE time, so an in-process
+    sweep must clear_cache() the jitted kernel wrappers between settings
+    (same caveat as _TABLE_VMEM_ROWS -- see tests/test_full_ba_pm.py).
+    PERF.md round 5 has the full table."""
     import os
 
     target = int(os.environ.get("BA_PM_GROUP", "2"))
     for g in (4, 2):
-        if g <= target and nblocks % g == 0:
+        if g <= target and nblocks % g == 0 and g * P <= _WINDOW_CHUNK:
             return g
     return 1
 
@@ -257,7 +248,12 @@ def _group_window_rows(tbl, tbase, base_ref, i, G, P, width):
 
 
 def _gather_grouped(win, GP, idx, width, hilo=False):
-    """Chunked one-hot gather over a stacked (GP, width) window."""
+    """Chunked one-hot gather over a stacked (GP, width) window.
+
+    The chunk always tiles GP: for G > 1 the _pick_group gate guarantees
+    GP <= _WINDOW_CHUNK (single chunk); for G = 1 (the big-mode path) a
+    window wider than the chunk is rounded to a chunk multiple by the
+    layout (models/layout.py window rounding)."""
     ch = min(GP, _WINDOW_CHUNK)
     out = None
     for c0 in range(0, GP, ch):
@@ -275,15 +271,15 @@ def _scatter_grouped_fused(pan_ref, G, P, idx, contrib):
     """Grouped fused hi/lo one-hot scatter into pan_ref (G, P, cols).
 
     Output rows are the stacked windows of the G sub-blocks ((G*P, cols)
-    per grid step vs (P, cols) ungrouped); chunk boundaries stay multiples
-    of P so each chunk writes whole panel rows."""
+    per grid step vs (P, cols) ungrouped). One chunk covering the whole
+    stacked window: the _pick_group gate guarantees G*P <= _WINDOW_CHUNK
+    for G > 1, and whole-P chunks are required for the panel-row writes."""
     GP = G * P
     cols = contrib.shape[0]
     hi, lo = _split_hilo(contrib)
     both = jnp.concatenate([hi, lo], axis=0)
     dn = (((1,), (1,)), ((), ()))
-    ch = max(P, (_WINDOW_CHUNK // P) * P)
-    ch = min(GP, ch)
+    ch = GP
     for c0 in range(0, GP, ch):
         oh = _onehot_flat(idx - c0, ch, jnp.bfloat16)
         out = jax.lax.dot_general(
@@ -626,9 +622,13 @@ def _matvec_kernel(shape: PMShape, mode: str, big: bool, G: int, sbase_ref,
 
     # One-hot chunks built ONCE and shared by the gather and the scatter
     # (their dots contract the same (chunk, Kp*bm) operand on opposite
-    # sides); building it twice paid the iota+compare cost twice. Chunks
-    # stay multiples of P so the grouped scatter writes whole panel rows.
-    ch = min(GP, max(P, (_WINDOW_CHUNK // P) * P))
+    # sides); building it twice paid the iota+compare cost twice. For
+    # G > 1 a single chunk covers the stacked window (the _pick_group gate
+    # guarantees GP <= _WINDOW_CHUNK, and the grouped scatter needs
+    # whole-P chunks for its panel-row writes); for G = 1 the chunk bound
+    # keeps wide-window one-hots VMEM-sized (layout rounds P > chunk to a
+    # chunk multiple, so chunks tile the window).
+    ch = GP if G > 1 else min(P, _WINDOW_CHUNK)
     ohs = [
         (c0, _onehot_flat(idx_s - c0, ch, jnp.bfloat16))
         for c0 in range(0, GP, ch)
@@ -852,7 +852,7 @@ def assemble_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl,
     if big:
         # HBM DMA slices must be 128-lane aligned (Mosaic tiling); pad.
         pose_tbl = jnp.pad(pose_tbl, ((0, 0), (0, 128 - pose_tbl.shape[1])))
-    G = _pick_group(nblocks)
+    G = _pick_group(nblocks, shape.window)
     bmG = bm * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # gbase, sbase
@@ -991,7 +991,7 @@ def _run_matvec(pm, shape: PMShape, Cb, U, x_tbl, mode: str, interpret: bool):
     big = _table_is_big(x_tbl.shape[0])
     if big:
         x_tbl = jnp.pad(x_tbl, ((0, 0), (0, 128 - x_tbl.shape[1])))
-    G = _pick_group(nblocks)
+    G = _pick_group(nblocks, shape.window)
     bmG = bm * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # sbase
@@ -1083,7 +1083,7 @@ def cost_pm_tbl(pm: PointMajorProblem, shape: PMShape, pose_tbl, X, rig,
     big = _table_is_big(pose_tbl.shape[0])
     if big:
         pose_tbl = jnp.pad(pose_tbl, ((0, 0), (0, 128 - pose_tbl.shape[1])))
-    G = _pick_group(nblocks)
+    G = _pick_group(nblocks, shape.window)
     bmG = bm * G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # gbase

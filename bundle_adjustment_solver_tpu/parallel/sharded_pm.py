@@ -174,7 +174,8 @@ def _pose_sharded_pcg(n_opt, Nl, padded_points, Atri_l, rhs_l, precond_l,
 def _local_shape(pshape: PMShape, num_shards: int) -> PMShape:
     assert pshape.num_blocks % num_shards == 0, (
         "num_blocks must divide evenly over shards "
-        "(build the layout with pad_blocks_to=num_shards)"
+        "(build the layout with pad_blocks_to=4*num_shards, as the sharded "
+        "builders do -- the 4x keeps per-shard grid-group kernels)"
     )
     return dataclasses.replace(
         pshape, padded_points=pshape.padded_points // num_shards
@@ -766,8 +767,9 @@ def solve_sharded_pm(
             raise ValueError(
                 f"pre-built layout has {pshape.num_blocks} blocks, not "
                 f"divisible over {num_shards} shards; build it with "
-                f"pad_blocks_to={num_shards} "
-                "(sharded_pm_problem_from_arrays does this)"
+                f"pad_blocks_to={4 * num_shards} (4x so each shard keeps "
+                "the grid-group kernels; sharded_pm_problem_from_arrays "
+                "does this)"
             )
 
     time_mode = getattr(options, "time_iterations", False)

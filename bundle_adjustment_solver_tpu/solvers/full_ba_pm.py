@@ -79,6 +79,16 @@ class _Carry(NamedTuple):
     eta_prev: jax.Array  # ()
 
 
+def _pad_blocks_for_groups(pad_blocks_to: int) -> int:
+    """Round the layout's block-count padding requirement up so the
+    grid-group kernels keep G in {2, 4} available: num_blocks becomes a
+    multiple of lcm(pad, 4) (<= 3 extra masked padding blocks on top of
+    any sharding requirement; ops/pallas/full_ba_pm._pick_group)."""
+    import math
+
+    return math.lcm(int(pad_blocks_to), 4)
+
+
 def pm_from_finalized(
     problem: FinalizedProblem,
     shape: ProblemShape,
@@ -101,13 +111,7 @@ def pm_from_finalized(
     """
     if block_points is None:
         block_points = 1024 if shape.num_points >= 100_000 else 256
-    # Pad the block count to a multiple of 4 (on top of any sharding
-    # requirement) so the kernels' grid-group mode runs G = 4 -- the
-    # block-diagonal one-hot batching that fixes the skinny MXU tiles
-    # (ops/pallas/full_ba_pm._pick_group; <=3 blocks of padding, masked).
-    import math
-
-    pad_blocks_to = math.lcm(int(pad_blocks_to), 4)
+    pad_blocks_to = _pad_blocks_for_groups(pad_blocks_to)
     if host is None:
         n_opt = shape.num_opt_poses
         pose_opt_of = np.full(shape.num_poses, n_opt, dtype=np.int32)
@@ -202,10 +206,7 @@ def pm_problem_from_arrays(
     if block_points is None:
         # Same heuristic as pm_from_finalized.
         block_points = 1024 if M >= 100_000 else 256
-    # Same grid-group padding as pm_from_finalized (G = 4 kernels).
-    import math
-
-    pad_blocks_to = math.lcm(int(pad_blocks_to), 4)
+    pad_blocks_to = _pad_blocks_for_groups(pad_blocks_to)
     if fixed_pose_mask is None:
         fixed_pose_mask = np.zeros(N, dtype=bool)
     if fixed_point_mask is None:

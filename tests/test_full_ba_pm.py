@@ -1141,3 +1141,44 @@ def test_pm_problem_from_arrays_layout_cache():
             prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
             fixed_pose_mask=fixed, layout="host", return_cache=True,
         )
+
+
+def test_wide_window_gate_falls_back_to_ungrouped():
+    """Windows with G*P > _WINDOW_CHUNK must take the ungrouped kernels:
+    a sparse corridor (few landmarks per pose, short covisibility) lands
+    P=160, where grouped G=2 would need a 320-row window against the 256
+    chunk -- a mis-tiled one-hot (trace-time crash) before the gate.
+    Regression for the round-5 review finding; parity vs the
+    observation-table engine pins correctness, not just absence of the
+    crash."""
+    from bundle_adjustment_solver_tpu.ops.pallas import full_ba_pm as KK
+    from bundle_adjustment_solver_tpu.solvers import full_ba
+
+    prob = corridor_ba_problem(num_poses=400, num_points=700, window=8, seed=5)
+    fixed = np.zeros(400, bool)
+    fixed[prob.fixed_pose_ids] = True
+    problem, shape, host = finalized_from_arrays(
+        prob.cameras, prob.poses_initial, prob.points_initial,
+        prob.obs_camera, prob.obs_pose, prob.obs_point, prob.obs_pixel,
+        fixed_pose_mask=fixed, return_host=True,
+    )
+    res = pm_from_finalized(problem, shape, host=host)
+    assert res is not None
+    pm, pshape = res
+    assert pshape.window > 128, "workload must exercise a wide window"
+    assert KK._pick_group(pshape.num_blocks, pshape.window) == 1
+    opts = Options(
+        solver_type=SolverType.LEVENBERG_MARQUARDT,
+        convergence_handle=ConvergenceHandle(0.0, 0.0),
+        iteration_handle=IterationHandle(5),
+        reduced_system="cg",
+        cg_max_iterations=30,
+        cg_tolerance=1e-10,
+        cg_forcing="fixed",
+    )
+    state_pm, _ = solve_pm(problem, shape, opts, pm_and_shape=(pm, pshape))
+    state_ref, _ = full_ba.solve(problem, shape, opts)
+    np.testing.assert_allclose(
+        float(state_pm.final_cost), float(state_ref.final_cost),
+        rtol=1e-4,
+    )
