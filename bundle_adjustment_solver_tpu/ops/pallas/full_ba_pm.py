@@ -201,8 +201,10 @@ def _pick_group(nblocks: int, P: int) -> int:
     scatter). G = 4 OVERSHOOTS: 18.0 ms/iter (matvec 2.05, cost 2.24) --
     the 4x-larger one-hot operand materialization costs more than the
     tile-utilization gain returns. BA_PM_GROUP overrides for
-    hardware/shape studies (layouts pad num_blocks to a multiple of 4, so
-    {1, 2, 4} always divide); it is read at TRACE time, so an in-process
+    hardware/shape studies (the layout builders read the same target and
+    pad num_blocks to a multiple of it -- solvers/full_ba_pm._group_target
+    -- so the configured G divides; BUILD the layout under the same
+    setting); it is read at TRACE time, so an in-process
     sweep must clear_cache() the jitted kernel wrappers between settings
     (same caveat as _TABLE_VMEM_ROWS -- see tests/test_full_ba_pm.py).
     PERF.md round 5 has the full table."""
@@ -279,14 +281,11 @@ def _scatter_grouped_fused(pan_ref, G, P, idx, contrib):
     hi, lo = _split_hilo(contrib)
     both = jnp.concatenate([hi, lo], axis=0)
     dn = (((1,), (1,)), ((), ()))
-    ch = GP
-    for c0 in range(0, GP, ch):
-        oh = _onehot_flat(idx - c0, ch, jnp.bfloat16)
-        out = jax.lax.dot_general(
-            oh, both, dn, preferred_element_type=jnp.float32
-        )  # (ch, 2*cols)
-        res = (out[:, :cols] + out[:, cols:]).reshape(ch // P, P, cols)
-        pan_ref[pl.ds(c0 // P, ch // P)] = res
+    oh = _onehot_flat(idx, GP, jnp.bfloat16)
+    out = jax.lax.dot_general(
+        oh, both, dn, preferred_element_type=jnp.float32
+    )  # (GP, 2*cols)
+    pan_ref[...] = (out[:, :cols] + out[:, cols:]).reshape(G, P, cols)
 
 
 def _onehot_flat(idx, P, dtype=jnp.float32):

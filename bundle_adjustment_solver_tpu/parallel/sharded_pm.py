@@ -56,6 +56,7 @@ from ..solvers.full_ba import (
 from ..solvers.full_ba_pm import (
     _apply_cinv,
     _c_times,
+    _group_target,
     pm_from_finalized,
     retract_opt_rows,
     scatter_opt_rows,
@@ -174,8 +175,8 @@ def _pose_sharded_pcg(n_opt, Nl, padded_points, Atri_l, rhs_l, precond_l,
 def _local_shape(pshape: PMShape, num_shards: int) -> PMShape:
     assert pshape.num_blocks % num_shards == 0, (
         "num_blocks must divide evenly over shards "
-        "(build the layout with pad_blocks_to=4*num_shards, as the sharded "
-        "builders do -- the 4x keeps per-shard grid-group kernels)"
+        "(build the layout with pad_blocks_to=G*num_shards, as the sharded "
+        "builders do -- the G x keeps per-shard grid-group kernels)"
     )
     return dataclasses.replace(
         pshape, padded_points=pshape.padded_points // num_shards
@@ -277,11 +278,11 @@ def sharded_pm_problem_from_arrays(
         cameras, poses_world_to_camera, points, obs_cam, obs_pose,
         obs_point, obs_pixel, fixed_pose_mask=fixed_pose_mask,
         fixed_point_mask=fixed_point_mask, scale=scale,
-        # 4*num_shards: each shard's LOCAL block count stays a multiple of
-        # 4 so the per-shard kernels keep the grid-group (G-block) mode
-        # (ops/pallas/full_ba_pm._pick_group); <=4*num_shards-1 masked
-        # padding blocks.
-        pad_blocks_to=4 * num_shards, layout=layout,
+        # G*num_shards: each shard's LOCAL block count stays a multiple of
+        # the configured grid-group size G (default 2) so the per-shard
+        # kernels keep the G-block mode (ops/pallas/full_ba_pm._pick_group);
+        # <= G*num_shards - 1 masked padding blocks.
+        pad_blocks_to=_group_target() * num_shards, layout=layout,
         return_cache=return_cache, **build_kw,
     )
     if res is None:
@@ -751,9 +752,10 @@ def solve_sharded_pm(
         interpret = jax.default_backend() == "cpu"
     if pm_and_shape is None:
         res = pm_from_finalized(
-            # 4*num_shards keeps each shard's local block count a multiple
-            # of 4 (grid-group kernels per shard, see _pick_group).
-            problem, shape, host=host, pad_blocks_to=4 * num_shards
+            # G*num_shards keeps each shard's local block count a multiple
+            # of the configured grid-group size (see _pick_group).
+            problem, shape, host=host,
+            pad_blocks_to=_group_target() * num_shards,
         )
         if res is None:
             raise ValueError(
@@ -767,9 +769,9 @@ def solve_sharded_pm(
             raise ValueError(
                 f"pre-built layout has {pshape.num_blocks} blocks, not "
                 f"divisible over {num_shards} shards; build it with "
-                f"pad_blocks_to={4 * num_shards} (4x so each shard keeps "
-                "the grid-group kernels; sharded_pm_problem_from_arrays "
-                "does this)"
+                f"pad_blocks_to={_group_target() * num_shards} (G x so "
+                "each shard keeps the grid-group kernels; "
+                "sharded_pm_problem_from_arrays does this)"
             )
 
     time_mode = getattr(options, "time_iterations", False)

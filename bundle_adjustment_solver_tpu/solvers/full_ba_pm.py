@@ -79,14 +79,27 @@ class _Carry(NamedTuple):
     eta_prev: jax.Array  # ()
 
 
+def _group_target() -> int:
+    """The grid-group size the kernels will ask for: the BA_PM_GROUP env
+    target clamped to {1, 2, 4} (default 2 -- the shipped G; 4 is the
+    measured-negative study mode, ops/pallas/full_ba_pm._pick_group)."""
+    import os
+
+    tgt = int(os.environ.get("BA_PM_GROUP", "2"))
+    return 4 if tgt >= 4 else (2 if tgt >= 2 else 1)
+
+
 def _pad_blocks_for_groups(pad_blocks_to: int) -> int:
     """Round the layout's block-count padding requirement up so the
-    grid-group kernels keep G in {2, 4} available: num_blocks becomes a
-    multiple of lcm(pad, 4) (<= 3 extra masked padding blocks on top of
-    any sharding requirement; ops/pallas/full_ba_pm._pick_group)."""
+    grid-group kernels keep the CONFIGURED G available: num_blocks
+    becomes a multiple of lcm(pad, G_target). Padding only to the shipped
+    G=2 (not 4) caps the waste at ONE masked block on top of any sharding
+    requirement -- a 1-block problem previously grew 4x; a BA_PM_GROUP=4
+    study run still gets 4-aligned layouts because the target is read
+    here too."""
     import math
 
-    return math.lcm(int(pad_blocks_to), 4)
+    return math.lcm(int(pad_blocks_to), _group_target())
 
 
 def pm_from_finalized(

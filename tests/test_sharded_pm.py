@@ -302,17 +302,22 @@ class TestShardedServingPath:
 
     def test_block_misalignment_refused(self):
         """A layout built without pad_blocks_to=num_shards must be refused
-        loudly, not wrapped incorrectly."""
+        loudly, not wrapped incorrectly. A shard count coprime to the
+        layout's block count always exists among {3, 5, 7} (num_blocks
+        would have to be a multiple of 105 to divide by all three), so
+        the refusal branch is exercised on EVERY run -- the old version
+        skipped whenever the default padding happened to align."""
         from bundle_adjustment_solver_tpu.solvers.full_ba_pm import (
             pm_from_finalized,
         )
 
         problem, shape = _problem()
         pm, pshape = pm_from_finalized(problem, shape, pad_blocks_to=1)
-        if pshape.num_blocks % 4 == 0:
-            pytest.skip("layout happens to align; nothing to refuse")
+        num_shards = next(
+            s for s in (3, 5, 7) if pshape.num_blocks % s != 0
+        )
         with pytest.raises(ValueError, match="pad_blocks_to"):
             solve_sharded_pm(
-                problem, shape, self._opts(), num_shards=4,
+                problem, shape, self._opts(), num_shards=num_shards,
                 pm_and_shape=(pm, pshape),
             )
